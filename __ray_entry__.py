@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in dabloomray) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()``   — flagship webtext dedup + sketch pipeline on sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL for the exact-checkable ones;
+sketch-estimate queries are registered without SQL (rows-only check)
+and their error bounds are asserted in tests/.
 """
 
 from __future__ import annotations
@@ -18,27 +15,155 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: approximate streaming dedup of documents by text key
+    (partition-owned scaling blooms), the reference's raison d'être
+    (SURVEY.md §2.6 "set ops / dedup")."""
+    from dabloomray.params import ScalingPolicy
+    from dabloomray.pipelines.core import dedup_approx
+
+    docs = _read(SF_SMOKE, "documents")
+    docs = docs.map_batches(
+        lambda t: t.append_column("seq_id", t.column("doc_id")),
+        batch_format="pyarrow",
+    )
+    out = dedup_approx(
+        docs, key_col="text", seq_col="seq_id",
+        policy=ScalingPolicy(capacity0=10_000, target_error=0.05),
+        num_partitions=8,
+    )
+    return out.drop_columns(["seq_id", "part_id"])
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+def _q_dedup_documents_exact(sf_dir: str):
+    from dabloomray.pipelines.core import dedup_exact
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_exact(docs, key_col="text", seq_col="doc_id").select_columns(
+        ["doc_id", "text"]
+    )
+
+
+def _q_docs_per_lang(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["lang"])
+    out = docs.groupby("lang").count()
+    return out.map_batches(
+        lambda t: t.rename_columns(["lang", "n"]), batch_format="pyarrow"
+    )
+
+
+def _q_membership_semijoin(sf_dir: str):
+    """Bloom-gated semi-join: lineitem rows whose order has
+    o_totalprice > 200000.  The bloom (built distributed, broadcast via
+    ray.put) pre-filters; an exact key-set pass kills false positives,
+    so the result is exact (SURVEY.md §2.6 "joins / lookups")."""
+    import ray
+
+    from dabloomray.pipelines.core import build_sketch
+    from dabloomray.serde import table_to_sketches
+    from dabloomray.sketches.counting import counting_bloom_factory
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    hot = orders.filter(expr="o_totalprice > 200000.0")
+    hot = hot.map_batches(
+        lambda t: t.append_column(
+            "key", pc.cast(t.column("o_orderkey"), pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+    sk_tab = pa.concat_tables(
+        list(
+            build_sketch(hot, "key", counting_bloom_factory(50_000, 0.01))
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+    )
+    bloom = table_to_sketches(sk_tab)[0]
+    exact_keys = set(
+        pa.concat_tables(
+            list(hot.select_columns(["o_orderkey"]).iter_batches(
+                batch_size=None, batch_format="pyarrow"))
+        ).column("o_orderkey").to_pylist()
+    )
+    bloom_ref = ray.put(bloom)
+    keys_ref = ray.put(exact_keys)
+
+    class SemiJoin:
+        def __init__(self):
+            self.bloom = ray.get(bloom_ref)
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            skeys = pc.cast(batch.column("l_orderkey"), pa.string())
+            hit = self.bloom.check(skeys)  # approx gate (no false negatives)
+            if hit.any():
+                ok = np.array(
+                    [k in self.keys for k in
+                     batch.column("l_orderkey").to_numpy()[hit]]
+                )
+                idx = np.flatnonzero(hit)[ok]
+            else:
+                idx = np.zeros(0, dtype=np.int64)
+            return batch.take(pa.array(idx))
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity",
+                                            "l_returnflag"])
+    gated = li.map_batches(SemiJoin, batch_format="pyarrow",
+                           concurrency=(1, 4))
+    agg = gated.groupby("l_returnflag").aggregate(
+        # named to match the oracle column names exactly
+        __import__("ray").data.aggregate.Count(alias_name="n"),
+        __import__("ray").data.aggregate.Sum("l_quantity", alias_name="sum_qty"),
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("sum_qty"), "sum_qty",
+            pc.round(t.column("sum_qty"), 2),
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "dedup_documents_exact": _q_dedup_documents_exact,
+        "docs_per_lang": _q_docs_per_lang,
+        "membership_semijoin": _q_membership_semijoin,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "dedup_documents_exact": (
+            "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text"
+        ),
+        "docs_per_lang": (
+            "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"
+        ),
+        "membership_semijoin": (
+            "SELECT l_returnflag, COUNT(*) AS n, "
+            "ROUND(SUM(l_quantity), 2) AS sum_qty FROM lineitem "
+            "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+            "WHERE o_totalprice > 200000.0) GROUP BY l_returnflag"
+        ),
+    }

@@ -20,6 +20,8 @@ increments; batch remove via subtract + floor likewise.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ..hashing import SALT_CONSTANT, double_hash_indices, murmur3_x64_128_batch
@@ -27,6 +29,12 @@ from ..params import BloomParams
 from ..serde import register_sketch
 
 _MAX_COUNT = 15  # 4-bit saturating counter
+
+
+def counting_bloom_factory(capacity: int, error_rate: float):
+    """Picklable zero-arg constructor for distributed sketch builds
+    (test modules aren't importable on Ray workers; library ones are)."""
+    return functools.partial(CountingBloom, BloomParams(capacity, error_rate))
 
 
 @register_sketch("counting_bloom")

@@ -1,0 +1,148 @@
+"""Ray pipeline tests: distributed == sequential (SURVEY.md §5.2(4))."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from dabloomray.fixtures import make_urls_table, make_words
+from dabloomray.hashing import partition_ids
+from dabloomray.params import BloomParams, ScalingPolicy
+from dabloomray.pipelines.core import (
+    build_scaling_bloom,
+    build_sketch,
+    build_sketch_grouped,
+    check_membership,
+    dedup_approx,
+    dedup_exact,
+)
+from dabloomray.serde import table_to_sketches
+from dabloomray.sketches.counting import CountingBloom, counting_bloom_factory
+from dabloomray.sketches.scaling import ScalingBloom
+
+
+def collect(ds) -> pa.Table:
+    return pa.concat_tables(
+        list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    )
+
+
+@pytest.fixture(scope="module")
+def words_ds(ray_session):
+    import ray.data as rd
+
+    words = make_words(12_000)
+    return words, rd.from_arrow(words).repartition(6)
+
+
+factory = counting_bloom_factory(3000, 0.05)
+
+
+def test_build_sketch_partitioned_parity(words_ds):
+    words, ds = words_ds
+    table = collect(build_sketch(ds, "word", factory, num_partitions=4))
+    sks = table_to_sketches(table)
+    wl = np.array(words.column("word").to_pylist())
+    pids = partition_ids(list(wl), 4)
+    for p in range(4):
+        seq = factory()
+        seq.add(list(wl[pids == p]))
+        assert np.array_equal(seq.counters, sks[p].counters)
+        assert seq.count == sks[p].count
+
+
+def test_build_sketch_global(words_ds):
+    words, ds = words_ds
+    table = collect(build_sketch(ds, "word", factory, num_partitions=None))
+    assert table.num_rows == 1
+    sk = table_to_sketches(table)[0]
+    seq = factory()
+    seq.add(words.column("word"))
+    assert np.array_equal(seq.counters, sk.counters)
+
+
+def test_grouped_udaf_matches_partial_path(words_ds):
+    words, ds = words_ds
+    t1 = collect(build_sketch(ds, "word", factory, num_partitions=4))
+    rows = build_sketch_grouped(ds, "word", factory, num_partitions=4).take_all()
+    a = table_to_sketches(t1)
+    for row in rows:
+        sk_row = row["sketch"]
+        from dabloomray.serde import sketch_from_row
+
+        b = sketch_from_row(sk_row)
+        assert np.array_equal(a[row["part_id"]].counters, b.counters)
+
+
+def test_check_membership_verdicts(words_ds):
+    words, ds = words_ds
+    table = collect(build_sketch(ds, "word", factory, num_partitions=4))
+    got = collect(check_membership(ds, table, "word", concurrency=2))
+    assert got.num_rows == words.num_rows
+    assert got.column("member").to_numpy().all()  # zero false negatives
+
+
+def test_scaling_chain_distributed_equals_sequential(words_ds):
+    words, ds = words_ds
+    pol = ScalingPolicy(capacity0=1500, target_error=0.05)
+    sbt = collect(build_scaling_bloom(ds, "word", "seq_id", pol,
+                                      num_partitions=4))
+    sks = table_to_sketches(sbt)
+    wl = np.array(words.column("word").to_pylist())
+    ids = words.column("seq_id").to_numpy()
+    pids = partition_ids(list(wl), 4)
+    for p in range(4):
+        seq = ScalingBloom(ScalingPolicy(capacity0=1500, target_error=0.05))
+        seq.add(list(wl[pids == p]), ids[pids == p])
+        got = sks[p]
+        assert len(seq.blooms) == len(got.blooms)
+        for a, b in zip(seq.blooms, got.blooms):
+            assert a.first_id == b.first_id
+            assert np.array_equal(a.counters, b.counters)
+
+
+@pytest.fixture(scope="module")
+def urls_ds(ray_session):
+    import ray.data as rd
+
+    urls = make_urls_table(4000)
+    ds = rd.from_arrow(urls.select(["url", "warc_ts"])).repartition(4)
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "seq_id", pc.cast(t.column("warc_ts"), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    return urls, ds
+
+
+def test_dedup_approx_drops_all_duplicates(urls_ds):
+    urls, ds = urls_ds
+    out = collect(dedup_approx(ds, "url", "seq_id",
+                               ScalingPolicy(capacity0=1000, target_error=0.05),
+                               num_partitions=4))
+    counts = collections.Counter(out.column("url").to_pylist())
+    assert max(counts.values()) == 1  # no key survives twice
+    n_unique = len(set(urls.column("url").to_pylist()))
+    # FPR may drop a few uniques but never more than the bound
+    assert out.num_rows >= n_unique * 0.95
+    assert out.num_rows <= n_unique
+
+
+def test_dedup_exact_matches_distinct(urls_ds):
+    urls, ds = urls_ds
+    out = collect(dedup_exact(ds, "url", "seq_id"))
+    uniq = set(urls.column("url").to_pylist())
+    assert out.num_rows == len(uniq)
+    assert set(out.column("url").to_pylist()) == uniq
+    # keeps the EARLIEST occurrence per key
+    first_ts = {}
+    for u, ts in zip(urls.column("url").to_pylist(),
+                     urls.column("warc_ts").to_pylist()):
+        if u not in first_ts or ts < first_ts[u]:
+            first_ts[u] = ts
+    got_ts = dict(zip(out.column("url").to_pylist(),
+                      out.column("warc_ts").to_pylist()))
+    assert got_ts == first_ts
