@@ -144,11 +144,87 @@ def _q_membership_semijoin(sf_dir: str):
     )
 
 
+def _collect(ds) -> pa.Table:
+    return pa.concat_tables(
+        list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    )
+
+
+def _global_sketch(ds, key_col, factory):
+    from dabloomray.pipelines.core import build_sketch
+    from dabloomray.serde import table_to_sketches
+
+    return table_to_sketches(_collect(build_sketch(ds, key_col, factory)))[0]
+
+
+def _q_distinct_users_hll(sf_dir: str):
+    """HLL COUNT DISTINCT (SURVEY.md §2.5 A3).  At sf<=0.1 the sketch
+    is still in exact sparse mode, so the DuckDB oracle matches
+    exactly; the dense-mode ±1.04/sqrt(m) bound is asserted in
+    tests/test_sketches.py."""
+    from dabloomray.sketches.hll import hll_factory
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    ev = ev.map_batches(
+        lambda t: t.append_column("key", pc.cast(t.column("user_id"),
+                                                 pa.string())),
+        batch_format="pyarrow",
+    )
+    hll = _global_sketch(ev, "key", hll_factory(14))
+    return pa.table({"n_distinct": pa.array([int(round(hll.estimate()))],
+                                            pa.int64())})
+
+
+def _q_event_type_freq_cms(sf_dir: str):
+    """CMS point frequencies (SURVEY.md §2.5 A4).  Width 8192 >> 8
+    distinct event types, so estimates collide with probability ~0 and
+    match the exact GROUP BY oracle; the epsilon*N overcount bound is
+    asserted in tests/test_sketches.py."""
+    from dabloomray.sketches.cms import cms_factory
+
+    ev = _read(sf_dir, "events", columns=["event_type"])
+    cms = _global_sketch(ev, "event_type", cms_factory(8192, 4))
+    types = sorted(ev.unique("event_type"))
+    est = cms.estimate(types)
+    return pa.table({"event_type": pa.array(types, pa.string()),
+                     "n": pa.array(est.astype("int64"), pa.int64())})
+
+
+def _q_value_quantiles_tdigest(sf_dir: str):
+    """t-digest quantiles over events.value — approximate, so no SQL
+    oracle (rows-only driver check); rank-error bound asserted in
+    tests/test_sketches.py and vs duckdb in tests/test_entry_queries.py."""
+    from dabloomray.sketches.tdigest import tdigest_factory
+
+    ev = _read(sf_dir, "events", columns=["value"])
+    td = _global_sketch(ev, "value", tdigest_factory(200))
+    qs = [0.5, 0.9, 0.99]
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "value_est": pa.array(td.quantile(np.array(qs)),
+                                           pa.float64())})
+
+
+def _q_nchars_quantiles_kll(sf_dir: str):
+    """KLL quantiles over documents.n_chars — approximate (rows-only)."""
+    from dabloomray.sketches.kll import kll_factory
+
+    docs = _read(sf_dir, "documents", columns=["n_chars"])
+    kll = _global_sketch(docs, "n_chars", kll_factory(200))
+    qs = [0.25, 0.5, 0.75, 0.95]
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "value_est": pa.array(kll.quantile(np.array(qs)),
+                                           pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dedup_documents_exact": _q_dedup_documents_exact,
         "docs_per_lang": _q_docs_per_lang,
         "membership_semijoin": _q_membership_semijoin,
+        "distinct_users_hll": _q_distinct_users_hll,
+        "event_type_freq_cms": _q_event_type_freq_cms,
+        "value_quantiles_tdigest": _q_value_quantiles_tdigest,
+        "nchars_quantiles_kll": _q_nchars_quantiles_kll,
     }
 
 
@@ -166,4 +242,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
             "WHERE o_totalprice > 200000.0) GROUP BY l_returnflag"
         ),
+        "distinct_users_hll": (
+            "SELECT COUNT(DISTINCT user_id) AS n_distinct FROM events"
+        ),
+        "event_type_freq_cms": (
+            "SELECT event_type, COUNT(*) AS n FROM events "
+            "GROUP BY event_type"
+        ),
+        # value_quantiles_tdigest / nchars_quantiles_kll: approximate
+        # estimators — intentionally no SQL oracle (rows-only check);
+        # bounds asserted in tests/test_entry_queries.py.
     }

@@ -70,7 +70,16 @@ def rows_to_table(rows: list[dict]) -> pa.Table:
     return pa.table(cols, schema=SKETCH_SCHEMA)
 
 
+def _ensure_registry() -> None:
+    """Import all sketch modules so their @register_sketch decorators
+    have run — needed on Ray workers, which only import the modules
+    referenced by the pickled UDF, not the whole package."""
+    from .sketches import cms, counting, hll, kll, scaling, tdigest  # noqa: F401
+
+
 def sketch_from_row(row: dict):
+    if row["kind"] not in _REGISTRY:
+        _ensure_registry()
     cls = _REGISTRY[row["kind"]]
     return cls.from_state(
         json.loads(row["params"]), row["state"], int(row["count"]),

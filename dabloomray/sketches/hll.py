@@ -17,6 +17,13 @@ import numpy as np
 from ..hashing import SALT_CONSTANT, murmur3_x64_128_batch
 from ..serde import register_sketch
 
+def hll_factory(p: int = 14):
+    """Picklable zero-arg constructor for distributed builds."""
+    import functools
+
+    return functools.partial(HyperLogLog, p)
+
+
 # bias-correction alpha_m for m >= 128 (Flajolet et al. 2007)
 def _alpha(m: int) -> float:
     if m == 16:

@@ -1,0 +1,71 @@
+"""Driver-contract queries vs DuckDB oracles (SURVEY.md §5.2(7)).
+
+The exact queries are also compared by the driver; here we additionally
+assert the approximate (rows-only) queries stay within their published
+bounds against exact DuckDB answers.
+"""
+
+import sys
+
+import duckdb
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import __ray_entry__ as e
+
+    return e
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["orders", "lineitem", "events", "documents"]:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def test_every_oracle_key_has_a_query(entrymod):
+    qs = entrymod.queries()
+    for name in entrymod.oracle_sql():
+        assert name in qs
+
+
+def test_exact_queries_match_oracle(entrymod, con):
+    import pandas as pd
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name, sql in oracles.items():
+        got = qs[name](SF)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        want = con.sql(sql).df()
+        got = got[sorted(got.columns)].sort_values(
+            by=sorted(got.columns)).reset_index(drop=True)
+        want = want[sorted(want.columns)].sort_values(
+            by=sorted(want.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_tdigest_quantiles_within_rank_bound(entrymod, con):
+    out = entrymod.queries()["value_quantiles_tdigest"](SF).to_pandas()
+    values = con.sql("SELECT value FROM events").df()["value"].to_numpy()
+    s = np.sort(values)
+    for q, est in zip(out["q"], out["value_est"]):
+        rank = np.searchsorted(s, est) / len(s)
+        assert abs(rank - q) < 0.02, (q, est, rank)
+
+
+def test_kll_quantiles_within_rank_bound(entrymod, con):
+    out = entrymod.queries()["nchars_quantiles_kll"](SF).to_pandas()
+    values = con.sql("SELECT n_chars FROM documents").df()["n_chars"].to_numpy()
+    s = np.sort(values)
+    for q, est in zip(out["q"], out["value_est"]):
+        rank = np.searchsorted(s, est) / len(s)
+        # 500-row table: one row = 0.2% rank; allow a few rows of slack
+        assert abs(rank - q) <= 0.05, (q, est, rank)
