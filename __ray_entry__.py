@@ -216,6 +216,88 @@ def _q_nchars_quantiles_kll(sf_dir: str):
                                            pa.float64())})
 
 
+def _q_docs_text_stats(sf_dir: str):
+    """Vectorized token counting (Arrow count_substring_regex) +
+    char length — text-analysis stage over documents."""
+    from dabloomray.stages.text import token_count_whitespace
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(token_count_whitespace, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.append_column(
+            "len_chars", pc.cast(pc.utf8_length(t.column("text")), pa.int64())
+        ).select(["doc_id", "n_tokens", "len_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_docs_fingerprint_dedup(sf_dir: str):
+    """Exact dedup keyed on the 128-bit content fingerprint instead of
+    the full text — at 100 TB the shuffle moves 32-byte keys, not
+    documents.  Collision odds ~n^2/2^128 ⇒ equals the GROUP BY text
+    oracle."""
+    from dabloomray.stages.text import fingerprint
+    from ray.data.aggregate import Min
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = docs.map_batches(fingerprint, batch_format="pyarrow")
+    out = docs.select_columns(["fp", "doc_id"]).groupby("fp").aggregate(
+        Min("doc_id", alias_name="doc_id"))
+    return out.select_columns(["doc_id"])
+
+
+def _q_embedding_neardup_pairs(sf_dir: str):
+    """Exact cosine near-dup pairs (threshold 0.4 — the synthetic
+    embeddings have no pairs above 0.52)."""
+    from dabloomray.pipelines.similarity import cosine_neardup_pairs
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return out.select_columns(["left_id", "right_id"])
+
+
+def _q_knn_embeddings(sf_dir: str):
+    """Brute-force exact cosine top-10 for query vectors vec_id < 5."""
+    from dabloomray.pipelines.similarity import knn_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_topk(emb, query_ids=[0, 1, 2, 3, 4], id_col="vec_id",
+                   vec_col="embedding", k=10)
+    return out.select_columns(["query_id", "neighbor_id"])
+
+
+def _q_minhash_dedup_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pairs, Jaccard >= 0.8 verified exactly
+    (rows-only driver check; brute-force parity in tests/test_dedup.py)."""
+    from dabloomray.pipelines.dedup import minhash_lsh_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.8)
+    return out.select_columns(["left_id", "right_id", "jaccard"])
+
+
+def _q_simhash_dedup_pairs(sf_dir: str):
+    """SimHash near-dup pairs, hamming <= 3 (rows-only driver check)."""
+    from dabloomray.pipelines.dedup import simhash_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_dedup(docs, "doc_id", "text", max_hamming=3)
+
+
+def _q_lang_id_counts(sf_dir: str):
+    """Heuristic language-ID stage → predicted-language histogram
+    (rows-only: the heuristic has no SQL equivalent)."""
+    from dabloomray.stages.text import LangId
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(LangId, batch_format="pyarrow",
+                           concurrency=(1, 4))
+    out = out.groupby("lang_pred").count()
+    return out.map_batches(
+        lambda t: t.rename_columns(["lang_pred", "n"]), batch_format="pyarrow"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dedup_documents_exact": _q_dedup_documents_exact,
@@ -225,6 +307,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_freq_cms": _q_event_type_freq_cms,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
         "nchars_quantiles_kll": _q_nchars_quantiles_kll,
+        "docs_text_stats": _q_docs_text_stats,
+        "docs_fingerprint_dedup": _q_docs_fingerprint_dedup,
+        "embedding_neardup_pairs": _q_embedding_neardup_pairs,
+        "knn_embeddings": _q_knn_embeddings,
+        "minhash_dedup_pairs": _q_minhash_dedup_pairs,
+        "simhash_dedup_pairs": _q_simhash_dedup_pairs,
+        "lang_id_counts": _q_lang_id_counts,
     }
 
 
@@ -249,7 +338,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, COUNT(*) AS n FROM events "
             "GROUP BY event_type"
         ),
-        # value_quantiles_tdigest / nchars_quantiles_kll: approximate
-        # estimators — intentionally no SQL oracle (rows-only check);
-        # bounds asserted in tests/test_entry_queries.py.
+        "docs_text_stats": (
+            r"SELECT doc_id, CASE WHEN trim(text)='' THEN 0 ELSE "
+            r"len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens, "
+            r"CAST(length(text) AS BIGINT) AS len_chars FROM documents"
+        ),
+        "docs_fingerprint_dedup": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "embedding_neardup_pairs": (
+            "SELECT a.vec_id AS left_id, b.vec_id AS right_id "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+        ),
+        "knn_embeddings": (
+            "SELECT query_id, neighbor_id FROM ("
+            " SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,"
+            "  ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY"
+            "   list_cosine_similarity(a.embedding, b.embedding) DESC,"
+            "   b.vec_id) AS rn"
+            " FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id"
+            " WHERE a.vec_id < 5) WHERE rn <= 10"
+        ),
+        # value_quantiles_tdigest / nchars_quantiles_kll /
+        # minhash_dedup_pairs / simhash_dedup_pairs / lang_id_counts:
+        # approximate or heuristic — intentionally no SQL oracle
+        # (rows-only check); bounds and brute-force parity asserted in
+        # tests/.
     }

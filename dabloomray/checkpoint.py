@@ -1,0 +1,116 @@
+"""Per-partition checkpoint / resume with lineage + metrics.
+
+Reference counterpart: the mmap file + ``scaling_bloom_flush`` seqnum
+protocol (src/dablooms.c ≈L630; ``new_scaling_bloom_from_file`` ≈L520
+is the resume path).  Our checkpoints are self-describing Parquet
+sketch rows — one file per partition, written atomically (tmp + rename)
+— plus a JSON manifest:
+
+    manifest = {
+      "version": 1,
+      "pipeline": "<name>",
+      "partitions": {
+         "<part_id>": {"ckpt_seqnum": int,   # == disk_seqnum (§4.2)
+                        "rows_processed": int,
+                        "file": "part=<pid>.parquet"},
+      },
+      "lineage": {...}                        # input paths / fragment ids
+    }
+
+A resume reads the manifest, skips finished partitions, and rebuilds
+only the rest — valid because partition ownership is a pure function of
+the key (murmur64 % P), so a partition's sketch depends only on its own
+input rows.  ``ckpt_seqnum`` mirrors the reference's disk_seqnum: a
+partition file is only referenced from the manifest after its rename
+completed, so a torn write is never visible (the mmap analogue of
+``mem_seqnum == 0`` detection).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .serde import SKETCH_SCHEMA
+
+MANIFEST = "_MANIFEST.json"
+
+
+def _atomic_write(path: str, write_fn) -> None:
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    os.close(fd)
+    try:
+        write_fn(tmp)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def write_partition(ckpt_dir: str, row: dict, lineage: dict | None = None,
+                    pipeline: str = "sketch") -> None:
+    """Checkpoint one partition's sketch row, then publish it in the
+    manifest (write order = durability order, §4.2)."""
+    pid = int(row["part_id"])
+    fname = f"part={pid}.parquet"
+    table = pa.table({k: [row[k]] for k in SKETCH_SCHEMA.names},
+                     schema=SKETCH_SCHEMA)
+    _atomic_write(os.path.join(ckpt_dir, fname),
+                  lambda tmp: pq.write_table(table, tmp))
+    man = read_manifest(ckpt_dir) or {
+        "version": 1, "pipeline": pipeline, "partitions": {}, "lineage": {}}
+    man["partitions"][str(pid)] = {
+        "ckpt_seqnum": int(row["mem_seqnum"]),
+        "rows_processed": int(row["count"]),
+        "file": fname,
+    }
+    if lineage:
+        man["lineage"].update(lineage)
+    _atomic_write(
+        os.path.join(ckpt_dir, MANIFEST),
+        lambda tmp: open(tmp, "w").write(json.dumps(man, indent=1,
+                                                    sort_keys=True)),
+    )
+
+
+def write_checkpoint(sketch_table: pa.Table, ckpt_dir: str,
+                     lineage: dict | None = None,
+                     pipeline: str = "sketch") -> None:
+    for row in sketch_table.to_pylist():
+        write_partition(ckpt_dir, row, lineage=lineage, pipeline=pipeline)
+
+
+def read_manifest(ckpt_dir: str) -> dict | None:
+    path = os.path.join(ckpt_dir, MANIFEST)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def finished_partitions(ckpt_dir: str) -> dict[int, dict]:
+    """{part_id: {ckpt_seqnum, rows_processed, file}} for every
+    partition the manifest references (torn writes are invisible)."""
+    man = read_manifest(ckpt_dir)
+    if man is None:
+        return {}
+    return {int(pid): meta for pid, meta in man["partitions"].items()}
+
+
+def read_checkpoint(ckpt_dir: str) -> pa.Table:
+    """All checkpointed sketch rows (manifest-referenced files only)."""
+    parts = finished_partitions(ckpt_dir)
+    tables = [
+        pq.read_table(os.path.join(ckpt_dir, meta["file"]))
+        for _, meta in sorted(parts.items())
+    ]
+    if not tables:
+        return pa.table({k: [] for k in SKETCH_SCHEMA.names},
+                        schema=SKETCH_SCHEMA)
+    return pa.concat_tables(tables)

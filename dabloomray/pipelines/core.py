@@ -78,13 +78,26 @@ def build_scaling_bloom(
     policy: ScalingPolicy | None = None,
     num_partitions: int = 16,
     op_col: str | None = None,
+    skip_partitions: frozenset | set | None = None,
 ):
     """Partition-owned scaling blooms: each key belongs to exactly one
     partition's chain; chains are built in seq order (G2 semantics).
-    Returns a Dataset of one sketch row per partition."""
+    Returns a Dataset of one sketch row per partition.
+    ``skip_partitions``: part_ids already checkpointed (resume path) —
+    their rows are dropped right after the partition projection, before
+    the shuffle."""
     policy = policy or ScalingPolicy()
     ds = ds.map_batches(with_partition_id(key_col, num_partitions),
                         batch_format="pyarrow")
+    if skip_partitions:
+        skip = pa.array(sorted(int(p) for p in skip_partitions), pa.int32())
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            keep = pa.compute.invert(
+                pa.compute.is_in(batch.column("part_id"), value_set=skip))
+            return batch.filter(keep)
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
     builder = ScalingChainBuild(policy, key_col, seq_col=seq_col, op_col=op_col)
 
     def build_chain(group: pa.Table) -> pa.Table:  # map_groups wants a fn
@@ -212,6 +225,40 @@ def dedup_exact(ds, key_col: str, seq_col: str | None = None):
         return group.slice(0, 1)
 
     return ds.groupby(key_col).map_groups(first_row, batch_format="pyarrow")
+
+
+def build_scaling_bloom_checkpointed(
+    ds,
+    key_col: str,
+    seq_col: str,
+    ckpt_dir: str,
+    policy: ScalingPolicy | None = None,
+    num_partitions: int = 16,
+    op_col: str | None = None,
+    lineage: dict | None = None,
+) -> pa.Table:
+    """Resumable scaling-bloom build (SURVEY.md §4.2/§4.3).
+
+    Finished partitions (per the checkpoint manifest) are skipped at
+    the read side; remaining chains are built, each published to the
+    checkpoint as it streams back (partition file first, then the
+    manifest — so a kill mid-run never references a torn write).
+    Returns the complete sketch table from the checkpoint.  A resumed
+    run is identical to an uninterrupted one because each partition's
+    chain is a pure function of its own input rows.
+    """
+    from ..checkpoint import finished_partitions, read_checkpoint, write_partition
+
+    done = finished_partitions(ckpt_dir)
+    pending = build_scaling_bloom(
+        ds, key_col, seq_col, policy=policy, num_partitions=num_partitions,
+        op_col=op_col, skip_partitions=set(done),
+    )
+    for batch in pending.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            write_partition(ckpt_dir, row, lineage=lineage,
+                            pipeline="scaling_bloom")
+    return read_checkpoint(ckpt_dir)
 
 
 def sketches_from_dataset(sketch_ds) -> dict[int, object]:

@@ -1,0 +1,255 @@
+"""Similarity search over an embedding column (list<float>).
+
+NEW vs the reference — the ANN layer of a training-data pipeline:
+
+- **Brute-force cosine** (exact baseline): normalized matrix broadcast
+  with ``ray.put`` once; every batch does one numpy matmul against it.
+  Exact, embarrassingly parallel, O(N·B) per batch — the right choice
+  up to ~10^6 x 10^3-dim on a cluster.
+- **Random-hyperplane LSH buckets** (scale path): sign-pattern bucket
+  key → ``groupby(bucket)`` → exact pairs within buckets.  Recall
+  tunable by nbits/ntables; candidate volume bounded by bucket sizes,
+  so the all-pairs matmul never materializes at 10^12 scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..fixtures import splitmix64
+
+
+def _to_matrix(col) -> np.ndarray:
+    arrs = col.to_numpy(zero_copy_only=False)
+    return np.stack([np.asarray(a, dtype=np.float64) for a in arrs])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def collect_embeddings(ds, id_col: str, vec_col: str):
+    """(ids, normalized matrix) — small-side collect for broadcast."""
+    ids, mats = [], []
+    for b in ds.select_columns([id_col, vec_col]).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        ids.append(b.column(id_col).to_numpy())
+        mats.append(_to_matrix(b.column(vec_col)))
+    ids = np.concatenate(ids)
+    order = np.argsort(ids)
+    return ids[order], _normalize(np.concatenate(mats))[order]
+
+
+class _CosinePairs:
+    """map_batches actor: batch vectors vs broadcast matrix; emits
+    (left_id, right_id, cos_sim) with left_id < right_id, sim >= t."""
+
+    def __init__(self, ref, id_col: str, vec_col: str, threshold: float):
+        import ray
+
+        self.ids, self.matrix = ray.get(ref)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bids = batch.column(self.id_col).to_numpy()
+        bm = _normalize(_to_matrix(batch.column(self.vec_col)))
+        sims = bm @ self.matrix.T  # (batch, N)
+        li, ri, sv = [], [], []
+        for i, bid in enumerate(bids):
+            m = (sims[i] >= self.threshold) & (self.ids > bid)
+            li.append(np.full(int(m.sum()), bid, dtype=np.int64))
+            ri.append(self.ids[m].astype(np.int64))
+            sv.append(sims[i][m])
+        return pa.table({
+            "left_id": pa.array(np.concatenate(li), pa.int64()),
+            "right_id": pa.array(np.concatenate(ri), pa.int64()),
+            "cos_sim": pa.array(np.round(np.concatenate(sv), 6), pa.float64()),
+        })
+
+
+def cosine_neardup_pairs(ds, id_col: str, vec_col: str,
+                         threshold: float = 0.9, concurrency=(1, 4)):
+    """Exact near-duplicate pairs by cosine similarity."""
+    import ray
+
+    ref = ray.put(collect_embeddings(ds, id_col, vec_col))
+    return ds.map_batches(
+        _CosinePairs,
+        fn_constructor_kwargs={"ref": ref, "id_col": id_col,
+                               "vec_col": vec_col, "threshold": threshold},
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+
+
+class _TopKCandidates:
+    """Per-batch top-k per query against broadcast query matrix."""
+
+    def __init__(self, qref, id_col: str, vec_col: str, k: int):
+        import ray
+
+        self.qids, self.qm = ray.get(qref)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bids = batch.column(self.id_col).to_numpy().astype(np.int64)
+        bm = _normalize(_to_matrix(batch.column(self.vec_col)))
+        sims = self.qm @ bm.T  # (q, batch)
+        qi, ni, sv = [], [], []
+        for qx, qid in enumerate(self.qids):
+            s = sims[qx]
+            valid = bids != qid  # a vector is not its own neighbour
+            idx = np.flatnonzero(valid)
+            if len(idx) == 0:
+                continue
+            order = idx[np.lexsort((bids[idx], -s[idx]))][: self.k]
+            qi.append(np.full(len(order), qid, dtype=np.int64))
+            ni.append(bids[order])
+            sv.append(s[order])
+        if not qi:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qi), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(ni), pa.int64()),
+            "cos_sim": pa.array(np.concatenate(sv), pa.float64()),
+        })
+
+
+def knn_topk(ds, query_ids, id_col: str, vec_col: str, k: int = 10,
+             concurrency=(1, 4)):
+    """Exact top-k cosine neighbours for the given query ids.
+
+    Map side emits per-batch top-k candidates (k rows per query per
+    batch — bounded), reduce side keeps the global top-k per query.
+    Ties broken by neighbor id (deterministic)."""
+    import ray
+
+    query_ids = set(int(q) for q in query_ids)
+
+    def is_query(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        mask = np.isin(ids, list(query_ids))
+        return batch.filter(pa.array(mask))
+
+    qtab = pa.concat_tables(list(
+        ds.map_batches(is_query, batch_format="pyarrow")
+        .select_columns([id_col, vec_col])
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
+    qids = qtab.column(id_col).to_numpy().astype(np.int64)
+    qm = _normalize(_to_matrix(qtab.column(vec_col)))
+    qref = ray.put((qids, qm))
+
+    cand = ds.map_batches(
+        _TopKCandidates,
+        fn_constructor_kwargs={"qref": qref, "id_col": id_col,
+                               "vec_col": vec_col, "k": k},
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+
+    def head_k(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.to_pandas().sort_values(
+            ["cos_sim", "neighbor_id"], ascending=[False, True]).head(k)
+        df["cos_sim"] = df["cos_sim"].round(6)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return cand.groupby("query_id").map_groups(head_k, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed variant (scale path)
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 33) -> np.ndarray:
+    u = splitmix64(seed, np.arange(dim * nbits, dtype=np.uint64))
+    g = (u.astype(np.float64) / 2.0 ** 64) * 2.0 - 1.0  # uniform(-1,1)
+    return g.reshape(dim, nbits)
+
+
+class _LshBucket:
+    def __init__(self, id_col: str, vec_col: str, dim: int, nbits: int,
+                 ntables: int):
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.planes = [_hyperplanes(dim, nbits, seed=33 + t)
+                       for t in range(ntables)]
+        self.nbits = nbits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy().astype(np.int64)
+        m = _normalize(_to_matrix(batch.column(self.vec_col)))
+        tables, buckets, out_ids = [], [], []
+        pow2 = 1 << np.arange(self.nbits, dtype=np.int64)
+        for t, planes in enumerate(self.planes):
+            signs = (m @ planes) > 0
+            code = signs @ pow2
+            tables.append(np.full(len(ids), t, dtype=np.int32))
+            buckets.append(code.astype(np.int64))
+            out_ids.append(ids)
+        return pa.table({
+            "table_id": pa.array(np.concatenate(tables)),
+            "bucket": pa.array(np.concatenate(buckets), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_ids), pa.int64()),
+        })
+
+
+def lsh_neardup_pairs(ds, id_col: str, vec_col: str, dim: int,
+                      threshold: float = 0.9, nbits: int = 12,
+                      ntables: int = 8):
+    """Approximate near-dup pairs: random-hyperplane bucket keys per
+    table → groupby(table, bucket) → exact cosine within bucket.
+    Collision prob per table for angle θ: (1-θ/π)^nbits; ntables
+    tables union the candidates.  No all-pairs matmul, no broadcast of
+    the full matrix — the 10^12-scale path."""
+    import ray
+
+    ids, matrix = collect_embeddings(ds, id_col, vec_col)
+    ref = ray.put((ids, matrix))  # bucket verify still needs vectors
+
+    buckets = ds.map_batches(
+        _LshBucket,
+        fn_constructor_kwargs={"id_col": id_col, "vec_col": vec_col,
+                               "dim": dim, "nbits": nbits,
+                               "ntables": ntables},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        all_ids, m = ray.get(ref)
+        gids = np.unique(group.column("vec_id").to_numpy())
+        if len(gids) < 2:
+            return pa.table({"left_id": pa.array([], pa.int64()),
+                             "right_id": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
+        pos = np.searchsorted(all_ids, gids)
+        sub = m[pos]
+        sims = sub @ sub.T
+        a, b = np.triu_indices(len(gids), k=1)
+        keep = sims[a, b] >= threshold
+        return pa.table({
+            "left_id": pa.array(gids[a[keep]], pa.int64()),
+            "right_id": pa.array(gids[b[keep]], pa.int64()),
+            "cos_sim": pa.array(np.round(sims[a, b][keep], 6), pa.float64()),
+        })
+
+    cand = buckets.groupby(["table_id", "bucket"]).map_groups(
+        pairs, batch_format="pyarrow")
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        return pa.Table.from_pandas(
+            batch.to_pandas().drop_duplicates(["left_id", "right_id"]),
+            preserve_index=False)
+
+    return cand.repartition(1).map_batches(dedup, batch_format="pyarrow",
+                                           batch_size=None)

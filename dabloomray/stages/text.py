@@ -1,0 +1,208 @@
+"""Text-analysis stages for web-scale training-data pipelines.
+
+NEW vs the reference (dablooms keys are opaque bytes) — these are the
+per-record projections a 100 TB corpus pipeline runs before/alongside
+sketch-based dedup: token counting, quality scoring, language ID,
+document fingerprinting.  All stages are ``map_batches`` callables;
+stateful ones (compiled regexes, language profiles) are actor classes
+with setup in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import SALT_CONSTANT, murmur3_x64_128_batch
+
+# ---------------------------------------------------------------------------
+# token counting — vectorized Arrow kernels (whitespace) + regex (BPE-ish)
+# ---------------------------------------------------------------------------
+
+def token_count_whitespace(batch: pa.Table, text_col: str = "text",
+                           out_col: str = "n_tokens") -> pa.Table:
+    """Whitespace token count, pure Arrow compute (no Python loop):
+    tokens = non-whitespace runs."""
+    lens = pc.count_substring_regex(batch.column(text_col), r"\S+").cast(
+        pa.int64()
+    )
+    if out_col in batch.column_names:
+        batch = batch.drop_columns([out_col])
+    return batch.append_column(out_col, lens)
+
+
+class RegexTokenCount:
+    """BPE-ish token counting with a compiled regex (actor stage —
+    pattern compiled once per worker)."""
+
+    PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]"
+
+    def __init__(self, text_col: str = "text", out_col: str = "n_tokens_re"):
+        self.re = re.compile(self.PATTERN)
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        counts = pa.array(
+            [len(self.re.findall(t or "")) for t in texts], pa.int64()
+        )
+        if self.out_col in batch.column_names:
+            batch = batch.drop_columns([self.out_col])
+        return batch.append_column(self.out_col, counts)
+
+
+# ---------------------------------------------------------------------------
+# quality scoring — vectorized length / punctuation / stopword ratios
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = (
+    "the a an and or of to in is it for on with as at by that this be are "
+    "was from but not have has had you he she they we i"
+).split()
+
+
+class QualityScore:
+    """Length, mean word length, punctuation ratio, stopword ratio, and
+    a composite [0,1] quality score (heuristics in the spirit of
+    C4/Gopher quality filters, public)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.stop = frozenset(_STOPWORDS)
+        self.punct = re.compile(r"[^\w\s]")
+        self.word = re.compile(r"[A-Za-z]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        n_chars = np.zeros(n, dtype=np.int64)
+        mean_wlen = np.zeros(n)
+        punct_ratio = np.zeros(n)
+        stop_ratio = np.zeros(n)
+        for i, t in enumerate(texts):
+            t = t or ""
+            n_chars[i] = len(t)
+            words = self.word.findall(t.lower())
+            if words:
+                mean_wlen[i] = sum(map(len, words)) / len(words)
+                stop_ratio[i] = sum(w in self.stop for w in words) / len(words)
+            if t:
+                punct_ratio[i] = len(self.punct.findall(t)) / len(t)
+        # composite: reward mid-length docs with some stopwords, low punct
+        length_ok = np.clip(n_chars / 200.0, 0, 1) * (n_chars < 100_000)
+        score = (
+            0.4 * length_ok
+            + 0.3 * np.clip(stop_ratio / 0.4, 0, 1)
+            + 0.3 * (1.0 - np.clip(punct_ratio / 0.3, 0, 1))
+        )
+        for name, arr, typ in [
+            ("q_chars", n_chars, pa.int64()),
+            ("q_mean_word_len", mean_wlen, pa.float64()),
+            ("q_punct_ratio", punct_ratio, pa.float64()),
+            ("q_stop_ratio", stop_ratio, pa.float64()),
+            ("q_score", score, pa.float64()),
+        ]:
+            if name in batch.column_names:
+                batch = batch.drop_columns([name])
+            batch = batch.append_column(name, pa.array(arr, typ))
+        return batch
+
+
+# ---------------------------------------------------------------------------
+# language ID — character-n-gram profiles (actor stage)
+# ---------------------------------------------------------------------------
+
+_LANG_PROFILES = {
+    # top character trigrams per language (public frequency knowledge,
+    # tiny deterministic profiles — a heuristic, not a model)
+    "en": ["the", " th", "he ", "ing", "and", " an", "nd ", " of", "of ", "ed "],
+    "es": ["de ", " de", "os ", " la", "la ", "el ", " el", "ión", "ción", "as "],
+    "fr": [" de", "de ", "es ", " le", "le ", "ent", " la", "la ", "ion", "que"],
+    "de": ["en ", "er ", "ch ", "der", " de", "ein", "ie ", "ich", "sch", "und"],
+    "zh": [],  # CJK handled by codepoint-range rule below
+}
+
+
+class LangId:
+    """Heuristic language ID: CJK codepoint ratio → zh; else the
+    language whose trigram profile overlaps the text most; 'und' when
+    nothing matches.  Profiles built once per actor."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.profiles = {
+            lang: frozenset(grams)
+            for lang, grams in _LANG_PROFILES.items() if grams
+        }
+
+    @staticmethod
+    def _cjk_ratio(t: str) -> float:
+        if not t:
+            return 0.0
+        cjk = sum(1 for c in t if 0x4E00 <= ord(c) <= 0x9FFF)
+        return cjk / len(t)
+
+    def _classify(self, t: str) -> str:
+        t = (t or "").lower()
+        if self._cjk_ratio(t) > 0.2:
+            return "zh"
+        grams = {t[i : i + 3] for i in range(max(0, len(t) - 2))}
+        best, best_hits = "und", 0
+        for lang, prof in self.profiles.items():
+            hits = len(grams & prof)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best if best_hits >= 2 else "und"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = pa.array(
+            [self._classify(t) for t in batch.column(self.text_col).to_pylist()],
+            pa.string(),
+        )
+        if self.out_col in batch.column_names:
+            batch = batch.drop_columns([self.out_col])
+        return batch.append_column(self.out_col, preds)
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting — content hash + rolling-hash shingle sketch
+# ---------------------------------------------------------------------------
+
+def fingerprint(batch: pa.Table, text_col: str = "text",
+                out_col: str = "fp") -> pa.Table:
+    """128-bit content fingerprint (murmur of the exact bytes) as a
+    hex string — the exact-dedup key at scale (collision odds ~n^2/2^128)."""
+    h1, h2 = murmur3_x64_128_batch(batch.column(text_col), seed=SALT_CONSTANT)
+    fps = pa.array([f"{a:016x}{b:016x}" for a, b in
+                    zip(h1.tolist(), h2.tolist())], pa.string())
+    if out_col in batch.column_names:
+        batch = batch.drop_columns([out_col])
+    return batch.append_column(out_col, fps)
+
+
+def rolling_shingle_min(text: str, w: int = 16,
+                        base: int = 257, mod: int = (1 << 61) - 1) -> int:
+    """Karp–Rabin rolling hash over byte w-grams; returns the minimum
+    shingle hash (a 1-perm minhash — document similarity fingerprint)."""
+    data = text.encode("utf-8")
+    if len(data) < w:
+        h = 0
+        for b in data:
+            h = (h * base + b) % mod
+        return h
+    # initial window
+    h = 0
+    for b in data[:w]:
+        h = (h * base + b) % mod
+    pw = pow(base, w - 1, mod)
+    best = h
+    for i in range(w, len(data)):
+        h = ((h - data[i - w] * pw) * base + data[i]) % mod
+        if h < best:
+            best = h
+    return best

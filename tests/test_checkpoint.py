@@ -1,0 +1,109 @@
+"""Checkpoint / resume (SURVEY.md §5.2(5)): kill-after-ckpt resume
+produces the same final sketch table as an uninterrupted run."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from dabloomray.checkpoint import (
+    finished_partitions,
+    read_checkpoint,
+    read_manifest,
+    write_checkpoint,
+)
+from dabloomray.fixtures import make_words
+from dabloomray.params import ScalingPolicy
+from dabloomray.pipelines.core import (
+    build_scaling_bloom,
+    build_scaling_bloom_checkpointed,
+)
+from dabloomray.serde import table_to_sketches
+
+
+def collect(ds):
+    return pa.concat_tables(
+        list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    )
+
+
+POL = dict(policy=ScalingPolicy(capacity0=1500, target_error=0.05),
+           num_partitions=6)
+
+
+@pytest.fixture()
+def words_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(make_words(15_000)).repartition(4)
+
+
+def test_checkpoint_roundtrip(tmp_path, words_ds):
+    full = collect(build_scaling_bloom(words_ds, "word", "seq_id", **POL))
+    ckpt = str(tmp_path / "ckpt")
+    write_checkpoint(full, ckpt, lineage={"input": "make_words(15000)"})
+    man = read_manifest(ckpt)
+    assert len(man["partitions"]) == 6
+    assert man["lineage"]["input"] == "make_words(15000)"
+    for meta in man["partitions"].values():
+        assert meta["ckpt_seqnum"] > 0  # disk_seqnum recorded (§4.2)
+        assert meta["rows_processed"] > 0
+    back = read_checkpoint(ckpt)
+    a, b = table_to_sketches(full), table_to_sketches(back)
+    assert set(a) == set(b)
+    for pid in a:
+        assert a[pid].max_id == b[pid].max_id
+        for x, y in zip(a[pid].blooms, b[pid].blooms):
+            assert np.array_equal(x.counters, y.counters)
+
+
+def test_resume_equals_uninterrupted(tmp_path, words_ds):
+    ckpt = str(tmp_path / "ckpt")
+    # uninterrupted reference run
+    full = collect(build_scaling_bloom(words_ds, "word", "seq_id", **POL))
+
+    # "crashed" run: only partitions 0,1,2 reached the checkpoint
+    partial = full.filter(pc.is_in(full.column("part_id"),
+                                   value_set=pa.array([0, 1, 2], pa.int32())))
+    write_checkpoint(partial, ckpt)
+    assert set(finished_partitions(ckpt)) == {0, 1, 2}
+
+    # resume: must rebuild only 3,4,5 and end byte-identical to full
+    final = build_scaling_bloom_checkpointed(
+        words_ds, "word", "seq_id", ckpt, **POL)
+    assert set(finished_partitions(ckpt)) == set(range(6))
+    a, b = table_to_sketches(full), table_to_sketches(final)
+    for pid in a:
+        assert len(a[pid].blooms) == len(b[pid].blooms)
+        for x, y in zip(a[pid].blooms, b[pid].blooms):
+            assert x.first_id == y.first_id
+            assert np.array_equal(x.counters, y.counters)
+
+
+def test_fresh_run_writes_everything(tmp_path, words_ds):
+    ckpt = str(tmp_path / "ckpt")
+    final = build_scaling_bloom_checkpointed(
+        words_ds, "word", "seq_id", ckpt, **POL)
+    assert final.num_rows == 6
+    assert os.path.exists(os.path.join(ckpt, "_MANIFEST.json"))
+    # second call with same ckpt: nothing to rebuild, same table back
+    again = build_scaling_bloom_checkpointed(
+        words_ds, "word", "seq_id", ckpt, **POL)
+    assert again.equals(final)
+
+
+def test_unreferenced_partition_file_ignored(tmp_path, words_ds):
+    """A partition file without a manifest entry (torn run) is invisible
+    — the reference's mem_seqnum==0 torn-write detection analogue."""
+    ckpt = str(tmp_path / "ckpt")
+    full = collect(build_scaling_bloom(words_ds, "word", "seq_id", **POL))
+    write_checkpoint(full.slice(0, 2), ckpt)
+    # drop a stray file that no manifest references
+    stray = os.path.join(ckpt, "part=99.parquet")
+    import pyarrow.parquet as pq
+
+    pq.write_table(full.slice(0, 1), stray)
+    assert 99 not in finished_partitions(ckpt)
+    assert read_checkpoint(ckpt).num_rows == 2

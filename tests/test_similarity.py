@@ -1,0 +1,88 @@
+"""Similarity search: brute-force exactness + LSH recall."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dabloomray.fixtures import splitmix64
+from dabloomray.pipelines.similarity import (
+    cosine_neardup_pairs,
+    knn_topk,
+    lsh_neardup_pairs,
+)
+
+
+def make_embeddings(n=400, dim=32):
+    """Deterministic embeddings with planted near-dup pairs."""
+    u = splitmix64(55, np.arange(n * dim, dtype=np.uint64))
+    m = (u.astype(np.float64) / 2.0 ** 64).reshape(n, dim) - 0.5
+    # plant near-dups: every 50th vector is a slightly-perturbed copy
+    for i in range(0, n - 1, 50):
+        m[i + 1] = m[i] + 0.01 * (
+            splitmix64(66, np.arange(dim, dtype=np.uint64)).astype(np.float64)
+            / 2.0 ** 64 - 0.5)
+    return m
+
+
+def brute_pairs(m, threshold):
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    out = set()
+    n = len(m)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if sims[i, j] >= threshold:
+                out.add((i, j))
+    return out, sims
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    m = make_embeddings()
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(m)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              pa.list_(pa.float32())),
+    })
+    # float32 storage like the driver testdata
+    m32 = np.stack([np.asarray(x, dtype=np.float64)
+                    for x in t.column("embedding").to_pylist()])
+    return m32, rd.from_arrow(t).repartition(4)
+
+
+def test_bruteforce_pairs_exact(emb_ds):
+    m, ds = emb_ds
+    want, _ = brute_pairs(m, 0.95)
+    out = cosine_neardup_pairs(ds, "vec_id", "embedding", threshold=0.95)
+    got = {(r["left_id"], r["right_id"]) for r in out.take_all()}
+    assert got == want
+    assert len(got) >= 7  # the planted near-dups are found
+
+
+def test_knn_topk_exact(emb_ds):
+    m, ds = emb_ds
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    out = knn_topk(ds, query_ids=[0, 7], id_col="vec_id",
+                   vec_col="embedding", k=5).take_all()
+    for q in (0, 7):
+        got = [r["neighbor_id"] for r in out if r["query_id"] == q]
+        s = sims[q].copy()
+        s[q] = -np.inf
+        order = np.lexsort((np.arange(len(s)), -s))[:5]
+        assert got == list(order)
+
+
+def test_lsh_recall_vs_bruteforce(emb_ds):
+    m, ds = emb_ds
+    want, _ = brute_pairs(m, 0.95)
+    out = lsh_neardup_pairs(ds, "vec_id", "embedding", dim=m.shape[1],
+                            threshold=0.95, nbits=8, ntables=12)
+    got = {(r["left_id"], r["right_id"]) for r in out.take_all()}
+    assert got <= want or got == want  # no false positives (exact verify)
+    recall = len(got & want) / max(1, len(want))
+    # near-identical vectors (cos>0.95 → angle<18°) collide with
+    # prob (1-θ/π)^8 ≈ 0.43 per table; 12 tables → ~0.999
+    assert recall >= 0.9
