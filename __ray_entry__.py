@@ -99,11 +99,11 @@ def _q_membership_semijoin(sf_dir: str):
         )
     )
     bloom = table_to_sketches(sk_tab)[0]
-    exact_keys = set(
+    exact_keys = np.sort(
         pa.concat_tables(
             list(hot.select_columns(["o_orderkey"]).iter_batches(
                 batch_size=None, batch_format="pyarrow"))
-        ).column("o_orderkey").to_pylist()
+        ).column("o_orderkey").to_numpy()
     )
     bloom_ref = ray.put(bloom)
     keys_ref = ray.put(exact_keys)
@@ -111,16 +111,16 @@ def _q_membership_semijoin(sf_dir: str):
     class SemiJoin:
         def __init__(self):
             self.bloom = ray.get(bloom_ref)
-            self.keys = ray.get(keys_ref)
+            self.keys = ray.get(keys_ref)  # sorted int64 array
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             skeys = pc.cast(batch.column("l_orderkey"), pa.string())
             hit = self.bloom.check(skeys)  # approx gate (no false negatives)
             if hit.any():
-                ok = np.array(
-                    [k in self.keys for k in
-                     batch.column("l_orderkey").to_numpy()[hit]]
-                )
+                cand = batch.column("l_orderkey").to_numpy()[hit]
+                pos = np.searchsorted(self.keys, cand)
+                pos = np.minimum(pos, len(self.keys) - 1)
+                ok = self.keys[pos] == cand  # vectorized exact verify
                 idx = np.flatnonzero(hit)[ok]
             else:
                 idx = np.zeros(0, dtype=np.int64)
@@ -298,6 +298,39 @@ def _q_lang_id_counts(sf_dir: str):
     )
 
 
+def _q_source_counts_salted(sf_dir: str):
+    """Salted two-phase grouped count (hot-key-safe aggregation,
+    SURVEY.md §4.4) — result identical to a plain GROUP BY."""
+    from dabloomray.pipelines.skew import salted_counts
+
+    docs = _read(sf_dir, "documents", columns=["source"])
+    return salted_counts(docs, "source", num_salts=8)
+
+
+def _q_events_hourly(sf_dir: str):
+    """Tumbling 1h event-time windows as a grouped aggregate (Ray Data
+    has no watermarks; batch semantics == the SQL GROUP BY oracle)."""
+    from dabloomray.pipelines.skew import tumbling_window_agg
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    out = tumbling_window_agg(ev, "ts", "event_type", width_seconds=3600)
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("sum_value"), "sum_value",
+            pc.round(t.column("sum_value"), 2)),
+        batch_format="pyarrow",
+    )
+
+
+def _q_top_users(sf_dir: str):
+    """Top-20 users by event count — pre-aggregated groupby + tiny
+    driver-side sort (never a global row sort)."""
+    from dabloomray.pipelines.skew import top_k_by_count
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    return top_k_by_count(ev, "user_id", k=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dedup_documents_exact": _q_dedup_documents_exact,
@@ -314,6 +347,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "simhash_dedup_pairs": _q_simhash_dedup_pairs,
         "lang_id_counts": _q_lang_id_counts,
+        "source_counts_salted": _q_source_counts_salted,
+        "events_hourly": _q_events_hourly,
+        "top_users": _q_top_users,
     }
 
 
@@ -359,6 +395,18 @@ def oracle_sql() -> dict[str, str]:
             "   b.vec_id) AS rn"
             " FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id"
             " WHERE a.vec_id < 5) WHERE rn <= 10"
+        ),
+        "source_counts_salted": (
+            "SELECT source, COUNT(*) AS n FROM documents GROUP BY source"
+        ),
+        "events_hourly": (
+            "SELECT event_type, CAST(floor(epoch(ts)/3600) AS BIGINT) AS "
+            "window_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value "
+            "FROM events GROUP BY event_type, window_id"
+        ),
+        "top_users": (
+            "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "
+            "ORDER BY n DESC, user_id LIMIT 20"
         ),
         # value_quantiles_tdigest / nchars_quantiles_kll /
         # minhash_dedup_pairs / simhash_dedup_pairs / lang_id_counts:

@@ -16,9 +16,11 @@ from ..params import ScalingPolicy
 from ..serde import table_to_sketches
 from ..sketches.scaling import ScalingBloom
 from ..stages.build import (
+    HashedGroupBuild,
     MembershipCheck,
     PartialSketchEmit,
     ScalingChainBuild,
+    hash_project,
     merge_sketch_dataset,
     sketch_agg,
     with_partition_id,
@@ -53,6 +55,30 @@ def build_sketch(
         batch_format="pyarrow", batch_size=batch_size,
     )
     return merge_sketch_dataset(partials)
+
+
+def build_sketch_hashed(
+    ds,
+    key_col: str,
+    sketch_factory: Callable[[], object],
+    num_partitions: int = 16,
+    batch_size: int | None = 65_536,
+):
+    """Fastest partition-owned build for hash-kernel sketches
+    (counting bloom / HLL / CMS): vectorized hash projection at the
+    read (only 20 B/row shuffles), then one ``map_groups`` build per
+    partition — each counter array allocated exactly once.  Measured
+    5-8x faster than the partial-emit and UDAF paths at 10^6 rows.
+    Returns a Dataset of one sketch row per partition."""
+    hashed = ds.map_batches(hash_project(key_col, num_partitions),
+                            batch_format="pyarrow", batch_size=batch_size)
+    builder = HashedGroupBuild(sketch_factory)
+
+    def build_group(group: pa.Table) -> pa.Table:
+        return builder(group)
+
+    return hashed.groupby("part_id").map_groups(build_group,
+                                                batch_format="pyarrow")
 
 
 def build_sketch_grouped(
@@ -199,19 +225,119 @@ def dedup_approx(
     seq_col: str,
     policy: ScalingPolicy | None = None,
     num_partitions: int = 16,
+    payload: str = "rows",
+    apply_to=None,
 ):
     """Approximate streaming dedup: partition by key hash (all dups of a
     key land in one partition — required for correctness, §4.4), gate
-    each partition through its scaling bloom in seq order."""
+    each partition through its scaling bloom in seq order.
+
+    ``payload="rows"``: full rows ride through the shuffle (simple;
+    fine when rows are narrow).
+    ``payload="mask"``: ONLY (part_id, h1, h2, seq) enter the shuffle —
+    28 B/row regardless of document width; the gate emits surviving
+    seq ids, which are broadcast back as a filter over the original
+    dataset (no second shuffle).  This is the 10^12-scale path: at
+    100 TB the exchange carries hashes, never documents.  Requires
+    ``seq_col`` values to be globally unique.
+
+    ``apply_to`` (mask mode only): apply the survivor filter to this
+    dataset instead of ``ds`` — pass a column-pruned read as ``ds``
+    (key+seq only) and the full-width read here, so phase 1 never
+    deserializes wide columns.
+    """
     policy = policy or ScalingPolicy()
-    ds = ds.map_batches(with_partition_id(key_col, num_partitions),
-                        batch_format="pyarrow")
-    gate = _BloomGateGroup(policy, key_col, seq_col)
+    if payload == "rows":
+        ds2 = ds.map_batches(with_partition_id(key_col, num_partitions),
+                             batch_format="pyarrow")
+        gate = _BloomGateGroup(policy, key_col, seq_col)
+
+        def gate_group(group: pa.Table) -> pa.Table:
+            return gate(group)
+
+        return ds2.groupby("part_id").map_groups(gate_group,
+                                                 batch_format="pyarrow")
+
+    import ray
+
+    from ..hashing import murmur3_x64_128_batch
+    from ..sketches.counting import CountingBloom
+    from ..stages.build import PARTITION_SEED
+
+    def project(batch: pa.Table) -> pa.Table:
+        hp, _ = murmur3_x64_128_batch(batch.column(key_col),
+                                      seed=PARTITION_SEED)
+        h1, h2 = CountingBloom.hash_keys(batch.column(key_col))
+        return pa.table({
+            "part_id": pa.array((hp % np.uint64(num_partitions))
+                                .astype(np.int32)),
+            "h1": pa.array(h1.view(np.int64), pa.int64()),
+            "h2": pa.array(h2.view(np.int64), pa.int64()),
+            "seq": batch.column(seq_col).cast(pa.int64()),
+        })
+
+    gate = _HashedBloomGateGroup(policy)
 
     def gate_group(group: pa.Table) -> pa.Table:
         return gate(group)
 
-    return ds.groupby("part_id").map_groups(gate_group, batch_format="pyarrow")
+    survivors_ds = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("part_id").map_groups(gate_group, batch_format="pyarrow")
+    )
+    seqs = np.sort(np.concatenate([
+        b.column("seq").to_numpy()
+        for b in survivors_ds.iter_batches(batch_size=None,
+                                           batch_format="pyarrow")
+    ] or [np.zeros(0, dtype=np.int64)]))
+    ref = ray.put(seqs)
+
+    # stateless task fn (NOT an actor pool): ray.get(ref) is zero-copy
+    # from the object store, and a plain fn lets Ray fuse downstream
+    # stateless stages into one elastic task pool — an actor pool here
+    # would drag the fused tail down to the pool's (lazily upscaled)
+    # size (observed 50% utilization at 2 cpus)
+    def keep_survivors(batch: pa.Table) -> pa.Table:
+        seqs_arr = ray.get(ref)
+        s = batch.column(seq_col).cast(pa.int64()).to_numpy()
+        if len(seqs_arr) == 0:
+            return batch.slice(0, 0)
+        pos = np.minimum(np.searchsorted(seqs_arr, s), len(seqs_arr) - 1)
+        return batch.filter(pa.array(seqs_arr[pos] == s))
+
+    target = apply_to if apply_to is not None else ds
+    return target.map_batches(keep_survivors, batch_format="pyarrow")
+
+
+class _HashedBloomGateGroup:
+    """Mask-mode gate: operates purely on precomputed 128-bit hashes;
+    emits the surviving seq ids of one partition (seq order applied)."""
+
+    def __init__(self, policy: ScalingPolicy):
+        self.policy = policy
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(group.column("seq"))
+        group = group.take(order)
+        h1 = group.column("h1").to_numpy().view(np.uint64)
+        h2 = group.column("h2").to_numpy().view(np.uint64)
+        ids = group.column("seq").to_numpy()
+        sb = ScalingBloom(self.policy)
+        keep = np.zeros(len(ids), dtype=bool)
+        B = 8192
+        for s in range(0, len(ids), B):
+            e = min(s + B, len(ids))
+            seen = sb.check_hashed(h1[s:e], h2[s:e])
+            pair = np.stack([h1[s:e], h2[s:e]], axis=1)
+            _, first_idx = np.unique(pair, axis=0, return_index=True)
+            dup_within = np.ones(e - s, dtype=bool)
+            dup_within[first_idx] = False
+            kb = (~seen) & (~dup_within)
+            keep[s:e] = kb
+            if kb.any():
+                idx = np.flatnonzero(kb) + s
+                sb.add_hashed(h1[idx], h2[idx], ids[idx])
+        return pa.table({"seq": pa.array(ids[keep], pa.int64())})
 
 
 def dedup_exact(ds, key_col: str, seq_col: str | None = None):

@@ -41,6 +41,13 @@ class CountMinSketch:
         h1, h2 = murmur3_x64_128_batch(keys, seed=SALT_CONSTANT)
         return double_hash_indices(h1, h2, self.depth, self.width)
 
+    def add_hashed(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        idx = double_hash_indices(h1, h2, self.depth, self.width)
+        for d in range(self.depth):
+            self.table[d] += np.bincount(idx[:, d],
+                                         minlength=self.width).astype(np.int64)
+        self.count += len(h1)
+
     def add(self, keys, counts=None) -> None:
         idx = self._indices(keys)  # (n, depth)
         n = idx.shape[0]

@@ -64,7 +64,8 @@ class HyperLogLog:
         return self.m // 4  # sparse rep stays smaller than dense registers
 
     # -- build -------------------------------------------------------------
-    def add_hashed(self, h1: np.ndarray) -> None:
+    def add_hashed(self, h1: np.ndarray, h2: np.ndarray | None = None) -> None:
+        """h2 accepted (and ignored) for kernel-signature uniformity."""
         self.count += len(h1)
         if self.sparse:
             self.hashes = np.union1d(self.hashes, h1)

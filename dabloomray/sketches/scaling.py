@@ -68,10 +68,14 @@ class ScalingBloom:
         """Vectorized batch add. ``ids`` must be monotonically
         non-decreasing within the batch (reference ordering assumption,
         SURVEY.md §1.1); the batch is split at capacity boundaries."""
+        h1, h2 = CountingBloom.hash_keys(keys)
+        self.add_hashed(h1, h2, ids)
+
+    def add_hashed(self, h1: np.ndarray, h2: np.ndarray, ids) -> None:
+        """Add pre-hashed keys (same routing/growth as :meth:`add`)."""
         ids = np.asarray(ids, dtype=np.int64)
         if len(ids) == 0:
             return
-        h1, h2 = CountingBloom.hash_keys(keys)
         pos = 0
         n = len(ids)
         while pos < n:

@@ -63,6 +63,19 @@ def test_build_sketch_global(words_ds):
     assert np.array_equal(seq.counters, sk.counters)
 
 
+def test_hashed_build_matches_partial_path(words_ds):
+    from dabloomray.pipelines.core import build_sketch_hashed
+
+    words, ds = words_ds
+    t1 = collect(build_sketch(ds, "word", factory, num_partitions=4))
+    t2 = collect(build_sketch_hashed(ds, "word", factory, num_partitions=4))
+    a, b = table_to_sketches(t1), table_to_sketches(t2)
+    assert set(a) == set(b)
+    for pid in a:
+        assert np.array_equal(a[pid].counters, b[pid].counters)
+        assert a[pid].count == b[pid].count
+
+
 def test_grouped_udaf_matches_partial_path(words_ds):
     words, ds = words_ds
     t1 = collect(build_sketch(ds, "word", factory, num_partitions=4))
@@ -103,6 +116,40 @@ def test_scaling_chain_distributed_equals_sequential(words_ds):
             assert np.array_equal(a.counters, b.counters)
 
 
+def test_scaling_chain_op_stream(ray_session):
+    """F3 ops stream: interleaved add/remove applied in seq order
+    matches a sequential per-partition replay (G2/G3 routing)."""
+    import ray.data as rd
+
+    words = make_words(4000)
+    wl = np.array(words.column("word").to_pylist())
+    ids = words.column("seq_id").to_numpy()
+    ops = np.where((ids % 4 == 0) & (ids > 0), "remove", "add")
+    t = pa.table({
+        "word": pa.array(wl, pa.string()),
+        "seq_id": pa.array(ids),
+        "op": pa.array(ops, pa.string()),
+    })
+    pol = ScalingPolicy(capacity0=800, target_error=0.05)
+    ds = rd.from_arrow(t).repartition(4)
+    sbt = collect(build_scaling_bloom(ds, "word", "seq_id", pol,
+                                      num_partitions=3, op_col="op"))
+    sks = table_to_sketches(sbt)
+    pids = partition_ids(list(wl), 3)
+    for p in range(3):
+        seq = ScalingBloom(ScalingPolicy(capacity0=800, target_error=0.05))
+        m = pids == p
+        for w, i, op in zip(wl[m], ids[m], ops[m]):
+            if op == "remove":
+                seq.remove([w], [i])
+            else:
+                seq.add([w], [i])
+        got = sks[p]
+        assert len(seq.blooms) == len(got.blooms)
+        for x, y in zip(seq.blooms, got.blooms):
+            assert np.array_equal(x.counters, y.counters)
+
+
 @pytest.fixture(scope="module")
 def urls_ds(ray_session):
     import ray.data as rd
@@ -129,6 +176,19 @@ def test_dedup_approx_drops_all_duplicates(urls_ds):
     # FPR may drop a few uniques but never more than the bound
     assert out.num_rows >= n_unique * 0.95
     assert out.num_rows <= n_unique
+
+
+def test_dedup_mask_mode_equals_rows_mode(urls_ds):
+    """payload='mask' (hash-only shuffle) must keep exactly the same
+    rows as payload='rows'."""
+    urls, ds = urls_ds
+    pol = dict(policy=ScalingPolicy(capacity0=1000, target_error=0.05),
+               num_partitions=4)
+    rows = collect(dedup_approx(ds, "url", "seq_id", **pol))
+    mask = collect(dedup_approx(ds, "url", "seq_id", payload="mask", **pol))
+    assert sorted(mask.column("seq_id").to_pylist()) == \
+        sorted(rows.column("seq_id").to_pylist())
+    assert set(mask.column_names) == set(ds.schema().names)
 
 
 def test_dedup_exact_matches_distinct(urls_ds):

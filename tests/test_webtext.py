@@ -1,0 +1,73 @@
+"""End-to-end webtext pipeline (flagship job)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dabloomray.fixtures import make_urls_table
+from dabloomray.params import ScalingPolicy
+from dabloomray.pipelines.webtext import webtext_pipeline
+
+
+@pytest.fixture(scope="module")
+def corpus_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("corpus") / "urls.parquet"
+    pq.write_table(make_urls_table(3000), str(p))
+    return str(p)
+
+
+def test_webtext_end_to_end(ray_session, corpus_path, tmp_path):
+    out_dir = str(tmp_path / "out")
+    out = webtext_pipeline(
+        corpus_path, out_dir=out_dir,
+        policy=ScalingPolicy(capacity0=1000, target_error=0.05),
+        num_partitions=4,
+    )
+    got = pq.read_table(out_dir)
+    src = pq.read_table(corpus_path)
+    n_unique = len(set(src.column("url").to_pylist()))
+    # every duplicate dropped; FPR may drop a few uniques
+    urls = got.column("url").to_pylist()
+    assert len(urls) == len(set(urls))
+    assert n_unique * 0.95 <= got.num_rows <= n_unique
+
+    # byte-identical extracted text per url (input_hint invariant):
+    # the recomputed text column equals the corpus golden text column
+    golden = dict(zip(src.column("url").to_pylist(),
+                      src.column("text").to_pylist()))
+    for u, t in zip(urls, got.column("text").to_pylist()):
+        assert golden[u] == t
+
+    # analysis columns present, html dropped
+    for col in ("n_tokens", "q_score", "fp", "seq_id"):
+        assert col in got.column_names
+    assert "html" not in got.column_names
+
+
+def test_webtext_deterministic_across_parallelism(ray_session, corpus_path,
+                                                  tmp_path):
+    outs = []
+    for i, parts in enumerate((2, 8)):
+        d = str(tmp_path / f"o{i}")
+        webtext_pipeline(corpus_path, out_dir=d,
+                         policy=ScalingPolicy(capacity0=1000,
+                                              target_error=0.05),
+                         num_partitions=parts, override_num_blocks=parts)
+        t = pq.read_table(d).sort_by("seq_id")
+        outs.append(t)
+    # same survivors requires same partition count (chain FPR depends on
+    # partitioning) — so compare the P=2 run against itself re-run, and
+    # check both runs produce unique urls
+    for t in outs:
+        urls = t.column("url").to_pylist()
+        assert len(urls) == len(set(urls))
+    d2 = str(tmp_path / "o0b")
+    webtext_pipeline(corpus_path, out_dir=d2,
+                     policy=ScalingPolicy(capacity0=1000, target_error=0.05),
+                     num_partitions=2, override_num_blocks=4)
+    rerun = pq.read_table(d2).sort_by("seq_id")
+    assert rerun.column("url").to_pylist() == outs[0].column("url").to_pylist()
+    assert rerun.column("text").to_pylist() == outs[0].column("text").to_pylist()
+    assert rerun.column("fp").to_pylist() == outs[0].column("fp").to_pylist()
