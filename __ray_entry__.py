@@ -331,6 +331,27 @@ def _q_top_users(sf_dir: str):
     return top_k_by_count(ev, "user_id", k=20)
 
 
+def _q_near_dedup_keep_first(sf_dir: str):
+    """MinHash-LSH groups → keep the smallest doc_id per near-dup
+    cluster (rows-only: near-dup grouping has no SQL equivalent;
+    group/keep logic tested against brute force in tests/)."""
+    from dabloomray.pipelines.dedup import near_dedup_keep_first
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = near_dedup_keep_first(docs, "doc_id", "text", threshold=0.8)
+    return out.select_columns(["doc_id"])
+
+
+def _q_knn_ivf(sf_dir: str):
+    """IVF (coarse-quantized) approximate kNN — the ANN scale path;
+    rows-only (recall vs brute force asserted in tests)."""
+    from dabloomray.pipelines.similarity import ivf_knn
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_knn(emb, query_ids=[0, 1, 2, 3, 4], id_col="vec_id",
+                   vec_col="embedding", k=10, nlist=16, nprobe=6)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dedup_documents_exact": _q_dedup_documents_exact,
@@ -350,6 +371,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_counts_salted": _q_source_counts_salted,
         "events_hourly": _q_events_hourly,
         "top_users": _q_top_users,
+        "near_dedup_keep_first": _q_near_dedup_keep_first,
+        "knn_ivf": _q_knn_ivf,
     }
 
 

@@ -376,6 +376,8 @@ def build_scaling_bloom_checkpointed(
     from ..checkpoint import finished_partitions, read_checkpoint, write_partition
 
     done = finished_partitions(ckpt_dir)
+    if set(done) >= set(range(num_partitions)):
+        return read_checkpoint(ckpt_dir)  # nothing pending: skip the read
     pending = build_scaling_bloom(
         ds, key_col, seq_col, policy=policy, num_partitions=num_partitions,
         op_col=op_col, skip_partitions=set(done),

@@ -201,6 +201,62 @@ def minhash_lsh_dedup(ds, id_col: str, text_col: str, threshold: float = 0.8,
 
 
 # ---------------------------------------------------------------------------
+# near-dup groups (connected components) + keep-first
+# ---------------------------------------------------------------------------
+
+def pairs_to_groups(pairs: pa.Table) -> dict[int, int]:
+    """Union-find over verified near-dup pairs → {doc_id: group_root}.
+
+    Driver-side: the verified pair set is orders of magnitude smaller
+    than the corpus (only near-dups).  If it ever isn't, switch to
+    min-label propagation: iterate ``groupby(doc).aggregate(min(label))``
+    rounds until fixpoint (ray_guide near-dup recipe)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for left, right in zip(pairs.column("left_id").to_pylist(),
+                           pairs.column("right_id").to_pylist()):
+        ra, rb = find(int(left)), find(int(right))
+        if ra != rb:
+            if rb < ra:  # deterministic: smallest id becomes the root
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {doc: find(doc) for doc in list(parent)}
+
+
+def near_dedup_keep_first(ds, id_col: str, text_col: str,
+                          threshold: float = 0.8, **lsh_kwargs):
+    """Full near-dedup: MinHash-LSH pairs → groups → drop every group
+    member except the smallest doc_id.  Returns the surviving Dataset."""
+    import ray
+
+    pairs = pa.concat_tables(list(
+        minhash_lsh_dedup(ds, id_col, text_col, threshold=threshold,
+                          **lsh_kwargs)
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
+    groups = pairs_to_groups(pairs)
+    drop = np.sort(np.array(
+        [doc for doc, root in groups.items() if doc != root],
+        dtype=np.int64))
+    ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy()
+        if len(d) == 0:
+            return batch
+        pos = np.minimum(np.searchsorted(d, ids), len(d) - 1)
+        return batch.filter(pa.array(d[pos] != ids))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -75,6 +75,41 @@ def test_knn_topk_exact(emb_ds):
         assert got == list(order)
 
 
+def test_ivf_knn_recall(emb_ds):
+    from dabloomray.pipelines.similarity import ivf_knn
+
+    m, ds = emb_ds
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    out = ivf_knn(ds, query_ids=[0, 7, 100], id_col="vec_id",
+                  vec_col="embedding", k=10, nlist=8, nprobe=4).to_pylist()
+    for q in (0, 7, 100):
+        got = {r["neighbor_id"] for r in out if r["query_id"] == q}
+        s = sims[q].copy()
+        s[q] = -np.inf
+        exact = set(np.lexsort((np.arange(len(s)), -s))[:10].tolist())
+        recall = len(got & exact) / 10
+        assert recall >= 0.5, (q, recall)  # probing half the lists
+
+
+def test_near_dedup_keep_first(ray_session):
+    import ray.data as rd
+
+    from dabloomray.pipelines.dedup import near_dedup_keep_first
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = {0: base, 1: base, 2: base + " extra", 3: "totally different "
+            "words here about other things entirely with no overlap at all",
+            4: base}
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    out = near_dedup_keep_first(ds, "doc_id", "text", threshold=0.8)
+    kept = sorted(r["doc_id"] for r in out.take_all())
+    # 0,1,4 are one group (keep 0); 2 is near 0 at J ~0.86 → dropped too
+    assert 0 in kept and 3 in kept
+    assert 1 not in kept and 4 not in kept
+
+
 def test_lsh_recall_vs_bruteforce(emb_ds):
     m, ds = emb_ds
     want, _ = brute_pairs(m, 0.95)
