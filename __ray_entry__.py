@@ -331,6 +331,22 @@ def _q_top_users(sf_dir: str):
     return top_k_by_count(ev, "user_id", k=20)
 
 
+def _q_docs_en_by_source(sf_dir: str):
+    """Filter + grouped count with the predicate pushed into the
+    parquet read (row-group pruning at the scan — SURVEY.md 'prune at
+    the read')."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"],
+        filter=(pc.field("lang") == "en"),
+    )
+    out = docs.groupby("source").count()
+    return out.map_batches(
+        lambda t: t.rename_columns(["source", "n"]), batch_format="pyarrow"
+    )
+
+
 def _q_near_dedup_keep_first(sf_dir: str):
     """MinHash-LSH groups → keep the smallest doc_id per near-dup
     cluster (rows-only: near-dup grouping has no SQL equivalent;
@@ -373,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": _q_top_users,
         "near_dedup_keep_first": _q_near_dedup_keep_first,
         "knn_ivf": _q_knn_ivf,
+        "docs_en_by_source": _q_docs_en_by_source,
     }
 
 
@@ -430,6 +447,10 @@ def oracle_sql() -> dict[str, str]:
         "top_users": (
             "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "
             "ORDER BY n DESC, user_id LIMIT 20"
+        ),
+        "docs_en_by_source": (
+            "SELECT source, COUNT(*) AS n FROM documents "
+            "WHERE lang = 'en' GROUP BY source"
         ),
         # value_quantiles_tdigest / nchars_quantiles_kll /
         # minhash_dedup_pairs / simhash_dedup_pairs / lang_id_counts:
