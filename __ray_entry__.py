@@ -331,6 +331,73 @@ def _q_top_users(sf_dir: str):
     return top_k_by_count(ev, "user_id", k=20)
 
 
+def _q_distinct_langs(sf_dir: str):
+    """Exact distinct values (Dataset.unique — a shuffle)."""
+    docs = _read(sf_dir, "documents", columns=["lang"])
+    vals = sorted(docs.unique("lang"))
+    return pa.table({"lang": pa.array(vals, pa.string())})
+
+
+def _q_top_value_events(sf_dir: str):
+    """Global sort + limit (Dataset.sort is a range-partitioned
+    shuffle); deterministic tie-break on event_id."""
+    ev = _read(sf_dir, "events", columns=["event_id", "value"])
+    out = ev.sort(["value", "event_id"],
+                  descending=[True, False]).limit(100)
+    return out
+
+
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate over lineitem — the canonical
+    partial-aggregate + small-groupby pattern (sums rounded identically
+    in Ray and SQL so float accumulation order can't flip the hash)."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda t: t.append_column(
+            "disc_price",
+            pc.multiply(t.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), t.column("l_discount")))),
+        batch_format="pyarrow")
+    out = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Count(alias_name="count_order"),
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("sum_qty"), "sum_qty",
+            pc.round(t.column("sum_qty"), 2)
+        ).set_column(
+            t.column_names.index("sum_disc_price"), "sum_disc_price",
+            pc.round(t.column("sum_disc_price"), 0)
+        ),
+        batch_format="pyarrow")
+
+
+def _q_user_sessions(sf_dir: str):
+    """Sessionization: per-user event streams split at >30-minute gaps
+    (groupby(user).map_groups over ts-sorted groups — the
+    streaming-shaped pattern from ray_guide; exact SQL oracle via
+    LAG window)."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().to_numpy()
+        gaps = np.diff(ts.astype("datetime64[us]").astype(np.int64))
+        n_sessions = 1 + int((gaps > 30 * 60 * 1_000_000).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [n_sessions],
+                             "n_events": [len(g)]})
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
 def _q_docs_en_by_source(sf_dir: str):
     """Filter + grouped count with the predicate pushed into the
     parquet read (row-group pruning at the scan — SURVEY.md 'prune at
@@ -390,6 +457,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_keep_first": _q_near_dedup_keep_first,
         "knn_ivf": _q_knn_ivf,
         "docs_en_by_source": _q_docs_en_by_source,
+        "pricing_summary": _q_pricing_summary,
+        "user_sessions": _q_user_sessions,
+        "distinct_langs": _q_distinct_langs,
+        "top_value_events": _q_top_value_events,
     }
 
 
@@ -451,6 +522,26 @@ def oracle_sql() -> dict[str, str]:
         "docs_en_by_source": (
             "SELECT source, COUNT(*) AS n FROM documents "
             "WHERE lang = 'en' GROUP BY source"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS "
+            "sum_disc_price, COUNT(*) AS count_order FROM lineitem "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "user_sessions": (
+            "SELECT user_id, CAST(1 + SUM(CASE WHEN gap_us > "
+            "30*60*1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, "
+            "COUNT(*) AS n_events FROM ("
+            " SELECT user_id, COALESCE(CAST(epoch_us(ts) - "
+            "  LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)"
+            "  AS BIGINT), 0) AS gap_us FROM events) GROUP BY user_id"
+        ),
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "top_value_events": (
+            "SELECT event_id, value FROM events "
+            "ORDER BY value DESC, event_id LIMIT 100"
         ),
         # value_quantiles_tdigest / nchars_quantiles_kll /
         # minhash_dedup_pairs / simhash_dedup_pairs / lang_id_counts:
