@@ -12,12 +12,22 @@ and their error bounds are asserted in tests/.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+# dabloomray must import on the DRIVER regardless of cwd.  NOTE: Ray
+# workers inherit the driver's cwd (not its sys.path), so the Ray
+# session must be started either with cwd=/root/repo (the graft driver
+# does) or with PYTHONPATH=/root/repo — otherwise workers cannot
+# deserialize the pipeline UDFs.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_ROOT)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 

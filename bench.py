@@ -18,6 +18,9 @@ import os
 import sys
 import time
 
+# importable regardless of the caller's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CORPUS_ROWS = int(os.environ.get("GRAFT_CORPUS_ROWS", "8000000"))

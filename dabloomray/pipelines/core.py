@@ -241,7 +241,13 @@ def dedup_approx(
     100 TB the exchange carries hashes, never documents.  Requires
     ``seq_col`` values to be globally unique.
 
-    ``apply_to`` (mask mode only): apply the survivor filter to this
+    ``payload="join"``: like mask, but the survivor seq ids stay
+    distributed and phase 2 is a ``Dataset.join(left_semi)`` on seq —
+    no driver-side collect at all.  Use beyond ~10^8 survivors, where
+    the mask array would not fit on the driver (mask collects ~8 B per
+    survivor; join trades that for a second shuffle of seq ids).
+
+    ``apply_to`` (mask/join modes): apply the survivor filter to this
     dataset instead of ``ds`` — pass a column-pruned read as ``ds``
     (key+seq only) and the full-width read here, so phase 1 never
     deserializes wide columns.
@@ -285,6 +291,14 @@ def dedup_approx(
         ds.map_batches(project, batch_format="pyarrow")
         .groupby("part_id").map_groups(gate_group, batch_format="pyarrow")
     )
+    target = apply_to if apply_to is not None else ds
+    if payload == "join":
+        renamed = survivors_ds.map_batches(
+            lambda t: t.rename_columns(["_surv_seq"]),
+            batch_format="pyarrow")
+        return target.join(renamed, join_type="left_semi",
+                           num_partitions=num_partitions,
+                           on=(seq_col,), right_on=("_surv_seq",))
     seqs = np.sort(np.concatenate([
         b.column("seq").to_numpy()
         for b in survivors_ds.iter_batches(batch_size=None,
@@ -305,7 +319,6 @@ def dedup_approx(
         pos = np.minimum(np.searchsorted(seqs_arr, s), len(seqs_arr) - 1)
         return batch.filter(pa.array(seqs_arr[pos] == s))
 
-    target = apply_to if apply_to is not None else ds
     return target.map_batches(keep_survivors, batch_format="pyarrow")
 
 

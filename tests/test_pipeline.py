@@ -189,6 +189,10 @@ def test_dedup_mask_mode_equals_rows_mode(urls_ds):
     assert sorted(mask.column("seq_id").to_pylist()) == \
         sorted(rows.column("seq_id").to_pylist())
     assert set(mask.column_names) == set(ds.schema().names)
+    # join mode (distributed semi-join, no driver collect) — same rows
+    join = collect(dedup_approx(ds, "url", "seq_id", payload="join", **pol))
+    assert sorted(join.column("seq_id").to_pylist()) == \
+        sorted(rows.column("seq_id").to_pylist())
 
 
 def test_dedup_exact_matches_distinct(urls_ds):
