@@ -31,6 +31,32 @@ def test_fixture_text_column_is_extractor_output():
         assert extract_text(h) == x
 
 
+def test_fast_path_equals_scalar_on_adversarial_inputs():
+    """The vectorized fast path must be byte-identical to the scalar
+    extractor on every input class: ascii happy path, unicode,
+    invalid utf-8, odd whitespace, missing tags, empty parts."""
+    cases = [
+        b"<html><head><title>T</title></head><body><p>a b</p></body></html>",
+        b"<TITLE>upper</TITLE><BODY>x</BODY>",
+        b"<title>only title</title>",
+        b"<body>only body</body>",
+        b"no tags here at all",
+        b"",
+        b"<title>  </title><body> \t\n </body>",      # whitespace-only parts
+        b"<title>a\x0bb</title><body>c\x1cd</body>",  # \v and \x1c ws
+        "<title>café</title><body>unicode</body>".encode(),
+        b"<title>bad \xff utf8</title><body>x</body>",  # invalid utf-8
+        b"<body><div><span>nested</span> <b>tags</b></div></body>",
+        b"<title>multi</title><body>first</body><body>second</body>",
+        b"<body attr='<'>tricky</body>",
+        b"\x0c<title>form feed</title>",
+    ]
+    t = pa.table({"html": pa.array(cases, pa.binary())})
+    got = extract_text_batch(t).column("text").to_pylist()
+    want = [extract_text(h) for h in cases]
+    assert got == want
+
+
 def test_batch_stage_matches_scalar_and_is_deterministic():
     t = make_urls_table(200)
     out1 = extract_text_batch(t.drop_columns(["text"]))
