@@ -341,6 +341,21 @@ def _q_top_users(sf_dir: str):
     return top_k_by_count(ev, "user_id", k=20)
 
 
+def _q_top_event_types_sketch(sf_dir: str):
+    """CMS+heap heavy-hitters sketch (mergeable approximate top-k).
+    With 8 event types against an 8192-wide CMS the estimates are
+    collision-free, so this matches the exact GROUP BY oracle."""
+    from dabloomray.sketches.topk import topk_factory
+
+    ev = _read(sf_dir, "events", columns=["event_type"])
+    sk = _global_sketch(ev, "event_type", topk_factory(5, 8192, 4))
+    top = sk.top(5)
+    return pa.table({
+        "event_type": pa.array([k for k, _ in top], pa.string()),
+        "n": pa.array([v for _, v in top], pa.int64()),
+    })
+
+
 def _q_distinct_langs(sf_dir: str):
     """Exact distinct values (Dataset.unique — a shuffle)."""
     docs = _read(sf_dir, "documents", columns=["lang"])
@@ -471,6 +486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q_user_sessions,
         "distinct_langs": _q_distinct_langs,
         "top_value_events": _q_top_value_events,
+        "top_event_types_sketch": _q_top_event_types_sketch,
     }
 
 
@@ -549,6 +565,10 @@ def oracle_sql() -> dict[str, str]:
             "  AS BIGINT), 0) AS gap_us FROM events) GROUP BY user_id"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "top_event_types_sketch": (
+            "SELECT event_type, COUNT(*) AS n FROM events "
+            "GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5"
+        ),
         "top_value_events": (
             "SELECT event_id, value FROM events "
             "ORDER BY value DESC, event_id LIMIT 100"

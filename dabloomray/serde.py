@@ -74,7 +74,9 @@ def _ensure_registry() -> None:
     """Import all sketch modules so their @register_sketch decorators
     have run — needed on Ray workers, which only import the modules
     referenced by the pickled UDF, not the whole package."""
-    from .sketches import cms, counting, hll, kll, scaling, tdigest  # noqa: F401
+    from .sketches import (  # noqa: F401
+        cms, counting, hll, kll, scaling, tdigest, topk,
+    )
 
 
 def sketch_from_row(row: dict):

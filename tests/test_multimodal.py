@@ -42,6 +42,30 @@ def test_frame_sample_fanout():
     assert all(len(b) > 0 for b in out.column("frame").to_pylist())
 
 
+def test_binary_payload_neardup_via_features(ray_session):
+    """Compose multimodal features with the similarity pipeline:
+    identical binary payloads → identical (deterministic fake)
+    features → cosine 1.0 pairs; distinct payloads stay apart."""
+    import ray.data as rd
+
+    from dabloomray.pipelines.similarity import cosine_neardup_pairs
+
+    t = media_table(30)
+    # plant exact-duplicate payloads: media 10 == media 0, 20 == 5
+    content = t.column("content").to_pylist()
+    content[10] = content[0]
+    content[20] = content[5]
+    t = pa.table({"media_id": t.column("media_id"),
+                  "content": pa.array(content, pa.binary())})
+    ds = rd.from_arrow(t).repartition(3)
+    feats = ds.map_batches(ImageFeatures(dim=16), batch_format="pyarrow") \
+        .select_columns(["media_id", "features"])
+    pairs = cosine_neardup_pairs(feats, "media_id", "features",
+                                 threshold=0.999)
+    got = {(r["left_id"], r["right_id"]) for r in pairs.take_all()}
+    assert got == {(0, 10), (5, 20)}
+
+
 def test_stages_compose_in_ray_pipeline(ray_session):
     import ray.data as rd
 
