@@ -89,6 +89,31 @@ def test_grouped_udaf_matches_partial_path(words_ds):
         assert np.array_equal(a[row["part_id"]].counters, b.counters)
 
 
+def test_udaf_and_hashed_paths_for_hll_and_cms(words_ds):
+    """All three build strategies agree for every hash-kernel sketch."""
+    from dabloomray.pipelines.core import build_sketch_hashed
+    from dabloomray.serde import sketch_from_row
+    from dabloomray.sketches.cms import cms_factory
+    from dabloomray.sketches.hll import hll_factory
+
+    words, ds = words_ds
+    for fac, cmp in [
+        (hll_factory(12), lambda a, b: a.estimate() == b.estimate()),
+        (cms_factory(2048, 4), lambda a, b: np.array_equal(a.table, b.table)),
+    ]:
+        t_partial = collect(build_sketch(ds, "word", fac, num_partitions=2))
+        t_hashed = collect(build_sketch_hashed(ds, "word", fac,
+                                               num_partitions=2))
+        rows_udaf = build_sketch_grouped(ds, "word", fac,
+                                         num_partitions=2).take_all()
+        a = table_to_sketches(t_partial)
+        b = table_to_sketches(t_hashed)
+        c = {r["part_id"]: sketch_from_row(r["sketch"]) for r in rows_udaf}
+        for pid in a:
+            assert cmp(a[pid], b[pid])
+            assert cmp(a[pid], c[pid])
+
+
 def test_check_membership_verdicts(words_ds):
     words, ds = words_ds
     table = collect(build_sketch(ds, "word", factory, num_partitions=4))
