@@ -97,8 +97,6 @@ class KLL:
         return float(out[0]) if scalar else out
 
     def to_state(self):
-        import json
-
         sizes = [len(l) for l in self.levels]
         blob = np.concatenate(self.levels) if self.levels else np.zeros(0)
         return ({"k": self.k, "sizes": sizes},

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..params import BloomParams, ScalingPolicy
+from ..params import ScalingPolicy
 from ..serde import register_sketch
 from .counting import CountingBloom
 

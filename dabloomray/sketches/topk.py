@@ -12,10 +12,6 @@ heavy-hitters argument, Cormode & Muthukrishnan 2005).
 
 from __future__ import annotations
 
-import json
-
-import numpy as np
-
 from ..serde import register_sketch
 from .cms import CountMinSketch
 

@@ -26,7 +26,7 @@ import pyarrow as pa
 
 from ..hashing import murmur3_x64_128_batch
 from ..params import ScalingPolicy
-from ..serde import SKETCH_SCHEMA, rows_to_table, sketch_from_row, sketch_to_row
+from ..serde import rows_to_table, sketch_from_row, sketch_to_row
 from ..sketches.scaling import ScalingBloom
 
 PARTITION_SEED = 0x9E3779B9  # independent of SALT_CONSTANT (SURVEY §4.4)
