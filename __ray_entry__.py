@@ -356,6 +356,27 @@ def _q_top_event_types_sketch(sf_dir: str):
     })
 
 
+def _q_orders_by_segment(sf_dir: str):
+    """Hash-partitioned inner join (Dataset.join) of orders x customer,
+    then grouped totals per market segment — the both-sides-large join
+    pattern (small sides would broadcast instead, see
+    membership_semijoin)."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="total"),
+    )
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("total"), "total",
+                               pc.round(t.column("total"), 0)),
+        batch_format="pyarrow")
+
+
 def _q_distinct_langs(sf_dir: str):
     """Exact distinct values (Dataset.unique — a shuffle)."""
     docs = _read(sf_dir, "documents", columns=["lang"])
@@ -487,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_langs": _q_distinct_langs,
         "top_value_events": _q_top_value_events,
         "top_event_types_sketch": _q_top_event_types_sketch,
+        "orders_by_segment": _q_orders_by_segment,
     }
 
 
@@ -568,6 +590,11 @@ def oracle_sql() -> dict[str, str]:
         "top_event_types_sketch": (
             "SELECT event_type, COUNT(*) AS n FROM events "
             "GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5"
+        ),
+        "orders_by_segment": (
+            "SELECT c_mktsegment, COUNT(*) AS n_orders, "
+            "ROUND(SUM(o_totalprice), 0) AS total FROM orders "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
         ),
         "top_value_events": (
             "SELECT event_id, value FROM events "
