@@ -26,7 +26,8 @@ def entrymod(ray_session):
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ["orders", "lineitem", "events", "documents", "embeddings"]:
+    for t in ["orders", "lineitem", "events", "documents", "embeddings",
+              "customer"]:
         c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     return c
 
