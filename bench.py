@@ -176,6 +176,10 @@ def bench_queries(corpus_path: str):
         for b in out.select_columns(["url"]).iter_batches(
                 batch_size=None, batch_format="pyarrow"):
             n += len(b)
+        # FPR evidence: 90% of corpus rows are unique (FIXTURES F1);
+        # survivors below that only by bloom false positives (bound 5%)
+        state["dedup_survivors"] = n
+        state["dedup_unique_frac"] = round(n / (0.9 * CORPUS_ROWS), 5)
         return n
 
     def q_hll_distinct():
@@ -227,7 +231,7 @@ def bench_queries(corpus_path: str):
         "scaling_dedup": q_scaling_dedup,
         "hll_distinct": q_hll_distinct,
         "text_stats": q_text_stats,
-    }
+    }, state
 
 
 def main() -> None:
@@ -251,7 +255,7 @@ def main() -> None:
     rd.read_parquet(corpus, columns=["url"]).map_batches(
         hash_project("url", 8), batch_format="pyarrow").count()
 
-    qs = bench_queries(corpus)
+    qs, state = bench_queries(corpus)
     only = os.environ.get("GRAFT_BENCH_ONLY")
     if only:
         names = [n for n in only.split(",") if n in qs]
@@ -279,6 +283,10 @@ def main() -> None:
         "corpus_rows": CORPUS_ROWS,
         "num_cpus": NUM_CPUS,
         "urls_per_sec": round(CORPUS_ROWS / headline),
+        "dedup_survivors": state.get("dedup_survivors"),
+        "dedup_unique_frac": state.get("dedup_unique_frac"),
+        "hll_distinct_est": round(state["distinct_est"])
+        if "distinct_est" in state else None,
     }))
     ray.shutdown()
 
