@@ -356,6 +356,29 @@ def _q_top_event_types_sketch(sf_dir: str):
     })
 
 
+def _q_purchase_after_signup(sf_dir: str):
+    """As-of join pattern: for every purchase event, the latest
+    signup of the same user at-or-before it (sort within user buckets,
+    backward-looking cumulative max — the merge_asof shape from the
+    join playbook).  Purchases with no prior signup are dropped, like
+    the SQL inner-join oracle."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        # last signup at-or-before each row: mask + forward-fill
+        # (NOT cummax — pandas cummax leaves NaT positions NaT)
+        signup_ts = g["ts"].where(g["event_type"] == "signup").ffill()
+        m = (g["event_type"] == "purchase") & signup_ts.notna()
+        return pd.DataFrame({"event_id": g.loc[m, "event_id"],
+                             "signup_ts": signup_ts[m]})
+
+    return ev.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
 def _q_orders_by_segment(sf_dir: str):
     """Hash-partitioned inner join (Dataset.join) of orders x customer,
     then grouped totals per market segment — the both-sides-large join
@@ -509,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_value_events": _q_top_value_events,
         "top_event_types_sketch": _q_top_event_types_sketch,
         "orders_by_segment": _q_orders_by_segment,
+        "purchase_after_signup": _q_purchase_after_signup,
     }
 
 
@@ -595,6 +619,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_mktsegment, COUNT(*) AS n_orders, "
             "ROUND(SUM(o_totalprice), 0) AS total FROM orders "
             "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "purchase_after_signup": (
+            "SELECT p.event_id, MAX(s.ts) AS signup_ts FROM events p "
+            "JOIN events s ON s.user_id = p.user_id "
+            "AND s.event_type = 'signup' AND s.ts <= p.ts "
+            "WHERE p.event_type = 'purchase' GROUP BY p.event_id"
         ),
         "top_value_events": (
             "SELECT event_id, value FROM events "
