@@ -16,6 +16,8 @@ partition.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -75,3 +77,100 @@ def webtext_pipeline(
     if out_dir is not None:
         out.write_parquet(out_dir)
     return out
+
+
+def webtext_pipeline_resumable(
+    input_path: str,
+    out_dir: str,
+    policy: ScalingPolicy | None = None,
+    num_partitions: int = 32,
+    max_shards: int | None = None,
+) -> dict:
+    """Resumable variant: one output directory per INPUT SHARD (file),
+    written atomically and tracked in a manifest — a failed run skips
+    finished shards on restart ("resumable output" layout).
+
+    Two-level resume:
+    1. the GLOBAL dedup survivor set (order-dependent across shards) is
+       computed once and checkpointed as sorted seq ids
+       (``_survivors.parquet``);
+    2. the shard-parallel tail (filter → extract → stats → write) runs
+       per input file; each finished shard is published to
+       ``_MANIFEST.json`` only after its directory rename.
+
+    ``max_shards`` stops after N shards (fault-injection hook for
+    tests).  Returns the manifest.  A resumed run is identical to an
+    uninterrupted one because the survivor set is deterministic and
+    each shard's output depends only on that set and its own file.
+    """
+    import glob
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..checkpoint import _atomic_write
+    from ..extract import extract_text_batch
+
+    policy = policy or ScalingPolicy(capacity0=50_000, target_error=0.05)
+    os.makedirs(out_dir, exist_ok=True)
+    man_path = os.path.join(out_dir, "_MANIFEST.json")
+    manifest = (json.load(open(man_path))
+                if os.path.exists(man_path) else {"shards": {}})
+
+    # phase 1: global survivors, checkpointed
+    surv_path = os.path.join(out_dir, "_survivors.parquet")
+    if not os.path.exists(surv_path):
+        light = rd.read_parquet(input_path, columns=["url", "warc_ts"]) \
+            .map_batches(add_seq_from_ts(), batch_format="pyarrow")
+        gated = dedup_approx(light, "url", "seq_id", policy=policy,
+                             num_partitions=num_partitions, payload="mask")
+        seqs = np.sort(np.concatenate(
+            [b.column("seq_id").to_numpy() for b in
+             gated.select_columns(["seq_id"]).iter_batches(
+                 batch_size=None, batch_format="pyarrow")]))
+        _atomic_write(surv_path, lambda tmp: pq.write_table(
+            pa.table({"seq": pa.array(seqs, pa.int64())}), tmp))
+    seqs = pq.read_table(surv_path).column("seq").to_numpy()
+    ref = ray.put(seqs)
+
+    files = sorted(glob.glob(os.path.join(input_path, "*.parquet"))) \
+        if os.path.isdir(input_path) else [input_path]
+    done = 0
+    for i, f in enumerate(files):
+        sid = str(i)
+        if sid in manifest["shards"]:
+            continue
+        if max_shards is not None and done >= max_shards:
+            break
+        shard_dir = os.path.join(out_dir, f"shard={i}")
+        tmp_dir = shard_dir + ".tmp"
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(shard_dir, ignore_errors=True)
+        ds = rd.read_parquet(f, columns=["url", "warc_ts", "html"]) \
+            .map_batches(add_seq_from_ts(), batch_format="pyarrow")
+
+        def keep(batch: pa.Table) -> pa.Table:
+            s = ray.get(ref)
+            v = batch.column("seq_id").to_numpy()
+            pos = np.minimum(np.searchsorted(s, v), max(0, len(s) - 1))
+            return batch.filter(pa.array(s[pos] == v)) if len(s) \
+                else batch.slice(0, 0)
+
+        out = ds.map_batches(keep, batch_format="pyarrow")
+        out = out.map_batches(extract_text_batch, batch_format="pyarrow") \
+            .drop_columns(["html"])
+        out = out.map_batches(token_count_whitespace, batch_format="pyarrow")
+        out = out.map_batches(QualityScore(), batch_format="pyarrow")
+        out = out.map_batches(fingerprint, batch_format="pyarrow")
+        out.write_parquet(tmp_dir)
+        os.replace(tmp_dir, shard_dir)  # atomic publish of the shard
+        manifest["shards"][sid] = {"input": f, "dir": f"shard={i}"}
+        _atomic_write(man_path, lambda tmp: open(tmp, "w").write(
+            json.dumps(manifest, indent=1, sort_keys=True)))
+        done += 1
+    return manifest

@@ -46,6 +46,46 @@ def test_webtext_end_to_end(ray_session, corpus_path, tmp_path):
     assert "html" not in got.column_names
 
 
+def test_resumable_shards_kill_and_resume(ray_session, tmp_path_factory,
+                                          tmp_path):
+    """Interrupted run (stops after 1 shard) + resume == uninterrupted
+    run, shard for shard."""
+    import glob
+
+    from dabloomray.pipelines.webtext import webtext_pipeline_resumable
+
+    # multi-file input = 3 shards
+    src = tmp_path_factory.mktemp("sharded")
+    full = make_urls_table(3000)
+    for i in range(3):
+        pq.write_table(full.slice(i * 1000, 1000),
+                       str(src / f"part-{i}.parquet"))
+    pol = ScalingPolicy(capacity0=1000, target_error=0.05)
+
+    a = str(tmp_path / "a")  # interrupted then resumed
+    m1 = webtext_pipeline_resumable(str(src), a, policy=pol,
+                                    num_partitions=4, max_shards=1)
+    assert len(m1["shards"]) == 1
+    assert len(glob.glob(a + "/shard=*")) == 1
+    m2 = webtext_pipeline_resumable(str(src), a, policy=pol,
+                                    num_partitions=4)
+    assert len(m2["shards"]) == 3
+
+    b = str(tmp_path / "b")  # uninterrupted reference
+    webtext_pipeline_resumable(str(src), b, policy=pol, num_partitions=4)
+
+    for i in range(3):
+        ta = pq.read_table(f"{a}/shard={i}").sort_by("seq_id")
+        tb = pq.read_table(f"{b}/shard={i}").sort_by("seq_id")
+        assert ta.column("url").to_pylist() == tb.column("url").to_pylist()
+        assert ta.column("fp").to_pylist() == tb.column("fp").to_pylist()
+    # global dedup semantics preserved across shards
+    all_urls = []
+    for i in range(3):
+        all_urls += pq.read_table(f"{a}/shard={i}").column("url").to_pylist()
+    assert len(all_urls) == len(set(all_urls))
+
+
 def test_webtext_deterministic_across_parallelism(ray_session, corpus_path,
                                                   tmp_path):
     outs = []
