@@ -132,17 +132,25 @@ def cmd_check(args) -> int:
 def cmd_webtext(args) -> int:
     _ray()
     from .params import ScalingPolicy
-    from .pipelines.webtext import webtext_pipeline
+    from .pipelines.webtext import webtext_pipeline, webtext_pipeline_resumable
 
     t0 = time.time()
-    webtext_pipeline(
-        args.input, out_dir=args.output,
-        policy=ScalingPolicy(capacity0=args.capacity,
-                             target_error=args.error_rate),
-        num_partitions=args.partitions,
-    )
-    print(json.dumps({"output": args.output,
-                      "sec": round(time.time() - t0, 2)}))
+    policy = ScalingPolicy(capacity0=args.capacity,
+                           target_error=args.error_rate)
+    if args.resumable:
+        man = webtext_pipeline_resumable(
+            args.input, args.output, policy=policy,
+            num_partitions=args.partitions)
+        print(json.dumps({"output": args.output,
+                          "shards": len(man["shards"]),
+                          "sec": round(time.time() - t0, 2)}))
+    else:
+        webtext_pipeline(
+            args.input, out_dir=args.output, policy=policy,
+            num_partitions=args.partitions,
+        )
+        print(json.dumps({"output": args.output,
+                          "sec": round(time.time() - t0, 2)}))
     return 0
 
 
@@ -180,6 +188,9 @@ def main(argv=None) -> int:
     e.add_argument("--capacity", type=int, default=50_000)
     e.add_argument("--error-rate", type=float, default=0.05)
     e.add_argument("--partitions", type=int, default=32)
+    e.add_argument("--resumable", action="store_true",
+                   help="per-input-shard output dirs + manifest; rerun "
+                        "skips finished shards")
     e.set_defaults(fn=cmd_webtext)
 
     args = p.parse_args(argv)
