@@ -402,6 +402,50 @@ def build_scaling_bloom_checkpointed(
     return read_checkpoint(ckpt_dir)
 
 
+def build_sketch_checkpointed(
+    ds,
+    key_col: str,
+    sketch_factory: Callable[[], object],
+    ckpt_dir: str,
+    num_partitions: int = 16,
+    lineage: dict | None = None,
+) -> pa.Table:
+    """Resumable mergeable-sketch build (counting bloom / HLL / CMS /
+    top-k): the hashed-groupby strategy with per-partition checkpoint
+    publication, mirroring :func:`build_scaling_bloom_checkpointed`.
+    Finished partitions are dropped before the shuffle; a resumed run
+    equals an uninterrupted one because every partition's sketch is a
+    pure function of its own keys."""
+    from ..checkpoint import finished_partitions, read_checkpoint, write_partition
+
+    done = finished_partitions(ckpt_dir)
+    if set(done) >= set(range(num_partitions)):
+        return read_checkpoint(ckpt_dir)
+    hashed = ds.map_batches(hash_project(key_col, num_partitions),
+                            batch_format="pyarrow")
+    if done:
+        skip = pa.array(sorted(int(p) for p in done), pa.int32())
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            keep = pa.compute.invert(
+                pa.compute.is_in(batch.column("part_id"), value_set=skip))
+            return batch.filter(keep)
+
+        hashed = hashed.map_batches(drop_done, batch_format="pyarrow")
+    builder = HashedGroupBuild(sketch_factory)
+
+    def build_group(group: pa.Table) -> pa.Table:
+        return builder(group)
+
+    pending = hashed.groupby("part_id").map_groups(build_group,
+                                                   batch_format="pyarrow")
+    for batch in pending.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            write_partition(ckpt_dir, row, lineage=lineage,
+                            pipeline="sketch_build")
+    return read_checkpoint(ckpt_dir)
+
+
 def sketches_from_dataset(sketch_ds) -> dict[int, object]:
     """Collect a (small) sketch-row dataset into {part_id: sketch}."""
     tables = [b for b in sketch_ds.iter_batches(batch_size=None,

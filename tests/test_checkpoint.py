@@ -94,6 +94,35 @@ def test_fresh_run_writes_everything(tmp_path, words_ds):
     assert again.equals(final)
 
 
+def test_mergeable_build_checkpointed_resume(tmp_path, words_ds):
+    """build_sketch_checkpointed (counting bloom): partial ckpt + resume
+    equals the uninterrupted hashed build."""
+    from dabloomray.pipelines.core import (
+        build_sketch_checkpointed,
+        build_sketch_hashed,
+    )
+    from dabloomray.sketches.counting import counting_bloom_factory
+
+    fac = counting_bloom_factory(3000, 0.05)
+    ckpt = str(tmp_path / "ckpt_cb")
+    full = collect(build_sketch_hashed(words_ds, "word", fac,
+                                       num_partitions=6))
+    partial = full.filter(pc.is_in(full.column("part_id"),
+                                   value_set=pa.array([1, 4], pa.int32())))
+    write_checkpoint(partial, ckpt)
+    final = build_sketch_checkpointed(words_ds, "word", fac, ckpt,
+                                      num_partitions=6)
+    assert set(finished_partitions(ckpt)) == set(range(6))
+    a, b = table_to_sketches(full), table_to_sketches(final)
+    for pid in a:
+        assert np.array_equal(a[pid].counters, b[pid].counters)
+        assert a[pid].count == b[pid].count
+    # complete checkpoint → short-circuit without reading input
+    again = build_sketch_checkpointed(words_ds, "word", fac, ckpt,
+                                      num_partitions=6)
+    assert again.num_rows == 6
+
+
 def test_unreferenced_partition_file_ignored(tmp_path, words_ds):
     """A partition file without a manifest entry (torn run) is invisible
     — the reference's mem_seqnum==0 torn-write detection analogue."""
