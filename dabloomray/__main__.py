@@ -43,16 +43,18 @@ def cmd_words_test(args) -> int:
     from .compat import Dablooms, load_dablooms
     from .fixtures import make_words
 
+    t_gen = time.time()
     words = make_words(args.n).column("word").to_pylist()
     ids = list(range(len(words)))
+    kept = [w for i, w in enumerate(words) if i % 2 == 0 and i % 4 != 0]
+    never = words[1::2]
+    t_gen = time.time() - t_gen
     bloom = Dablooms(args.capacity, args.error_rate, args.file)
     t0 = time.time()
     bloom.add_batch(words[0::2], ids[0::2])
     bloom.delete_batch(words[0::4], ids[0::4])
     bloom.flush()
     bloom = load_dablooms(args.capacity, args.error_rate, args.file)
-    kept = [w for i, w in enumerate(words) if i % 2 == 0 and i % 4 != 0]
-    never = words[1::2]
     v_kept = bloom.check_batch(kept)
     v_never = bloom.check_batch(never)
     fn = int((~v_kept).sum())
@@ -67,8 +69,12 @@ def cmd_words_test(args) -> int:
     print(f"False positives:  {fp:10d}")
     print(f"False negatives:  {fn:10d}")
     print(f"False positive rate: {fpr:.4f}")
-    print(f"Wall time: {time.time()-t0:.2f}s; sub-filters: "
-          f"{len(bloom._bloom.blooms)}")
+    ops_sec = time.time() - t0
+    n_ops = len(words[0::2]) + len(words[0::4]) + len(kept) + len(never)
+    print(f"Sketch ops wall: {ops_sec:.2f}s "
+          f"({n_ops / max(ops_sec, 1e-9):,.0f} ops/s incl. "
+          f"flush+reopen; fixture gen excluded: {t_gen:.2f}s); "
+          f"sub-filters: {len(bloom._bloom.blooms)}")
     if fn:
         print("ERROR: False negative", file=sys.stderr)
         return 1
