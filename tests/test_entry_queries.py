@@ -32,6 +32,13 @@ def con():
     return c
 
 
+def test_entry_runs_and_is_deterministic(entrymod):
+    a = entrymod.entry().to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = entrymod.entry().to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(a) > 0
+    assert a.equals(b)
+
+
 def test_every_oracle_key_has_a_query(entrymod):
     qs = entrymod.queries()
     for name in entrymod.oracle_sql():
