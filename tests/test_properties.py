@@ -56,6 +56,84 @@ def test_hll_merge_order_invariant(keys, perm):
     assert m1.estimate() == m2.estimate()
 
 
+@settings(max_examples=15, deadline=None)
+@given(data=st.data())
+def test_scaling_bloom_never_false_negative(data):
+    """Hard invariant from the reference suite: any added-and-not-
+    removed key checks True, for arbitrary add/remove interleavings
+    with monotone ids."""
+    from dabloomray.params import ScalingPolicy
+    from dabloomray.sketches.scaling import ScalingBloom
+
+    n = data.draw(st.integers(min_value=1, max_value=300))
+    remove_every = data.draw(st.integers(min_value=2, max_value=7))
+    cap = data.draw(st.sampled_from([16, 50, 120]))
+    keys = [f"k{i}" for i in range(n)]
+    sb = ScalingBloom(ScalingPolicy(capacity0=cap, target_error=0.05))
+    sb.add(keys, list(range(n)))
+    removed = [i for i in range(n) if i % remove_every == 0]
+    sb.remove([keys[i] for i in removed], removed)
+    kept = [keys[i] for i in range(n) if i % remove_every != 0]
+    if kept:
+        assert sb.check(kept).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(vals=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                               allow_nan=False), min_size=10,
+                     max_size=400),
+       nsplit=st.integers(min_value=1, max_value=5))
+def test_quantile_sketch_merge_bounds(vals, nsplit):
+    """Merged quantile sketches stay within the input range and are
+    monotone in q (t-digest and KLL)."""
+    import numpy as np
+
+    from dabloomray.sketches.kll import KLL
+    from dabloomray.sketches.tdigest import TDigest
+
+    arr = np.asarray(vals)
+    parts = np.array_split(arr, nsplit)
+    for cls in (lambda: TDigest(50), lambda: KLL(50)):
+        merged = None
+        for p in parts:
+            sk = cls()
+            if len(p):
+                sk.add(p)
+            merged = sk if merged is None else merged.merge(sk)
+        qs = merged.quantile(np.array([0.0, 0.25, 0.5, 0.75, 1.0]))
+        assert (np.diff(qs) >= -1e-9).all()
+        assert qs[0] >= arr.min() - 1e-9
+        assert qs[-1] <= arr.max() + 1e-9
+
+
+@settings(max_examples=15, deadline=None)
+@given(keys=st.lists(st.sampled_from([f"k{i}" for i in range(30)]),
+                     min_size=5, max_size=300),
+       nsplit=st.integers(min_value=1, max_value=4))
+def test_topk_merge_never_loses_heavy_hitter(keys, nsplit):
+    """The true most-frequent key always survives partitioned merge
+    (candidate-union argument)."""
+    import collections
+
+    import numpy as np
+
+    from dabloomray.sketches.topk import TopKSketch
+
+    parts = np.array_split(np.asarray(keys, dtype=object), nsplit)
+    merged = None
+    for p in parts:
+        sk = TopKSketch(k=3, width=1024, depth=4)
+        if len(p):
+            sk.add(list(p))
+        merged = sk if merged is None else merged.merge(sk)
+    true_top = collections.Counter(keys).most_common(1)[0][0]
+    top_keys = {k for k, _ in merged.top(3)}
+    # the max-count key must be present (ties: any max-count key)
+    counts = collections.Counter(keys)
+    maxc = counts[true_top]
+    assert any(counts[k] == maxc for k in top_keys)
+
+
 @settings(max_examples=20, deadline=None)
 @given(keys=keys_strategy)
 def test_cms_never_undercounts(keys):
