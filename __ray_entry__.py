@@ -368,7 +368,11 @@ def _q_purchase_after_signup(sf_dir: str):
                                           "event_type"])
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+        # signups sort BEFORE purchases at the same ts so the ffill
+        # sees at-or-before signups — matching the inclusive oracle
+        # predicate `s.ts <= p.ts`
+        g = g.assign(_not_signup=(g["event_type"] != "signup"))
+        g = g.sort_values(["ts", "_not_signup", "event_id"])
         # last signup at-or-before each row: mask + forward-fill
         # (NOT cummax — pandas cummax leaves NaT positions NaT)
         signup_ts = g["ts"].where(g["event_type"] == "signup").ffill()

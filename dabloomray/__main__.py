@@ -123,13 +123,15 @@ def pa_sum(table, col):
 
 def cmd_check(args) -> int:
     _ray()
-    from .checkpoint import read_checkpoint
+    from .checkpoint import read_checkpoint, read_manifest
     from .pipelines.core import check_membership
     from .sources.corpus import read_corpus
 
     sketch_table = read_checkpoint(args.ckpt_dir)
+    man = read_manifest(args.ckpt_dir) or {}
     ds = read_corpus(args.input, columns=[args.key], validate=False)
-    out = check_membership(ds, sketch_table, args.key)
+    out = check_membership(ds, sketch_table, args.key,
+                           num_partitions=man.get("num_partitions"))
     out.write_parquet(args.output)
     print(json.dumps({"output": args.output}))
     return 0

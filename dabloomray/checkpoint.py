@@ -54,9 +54,15 @@ def _atomic_write(path: str, write_fn) -> None:
 
 
 def write_partition(ckpt_dir: str, row: dict, lineage: dict | None = None,
-                    pipeline: str = "sketch") -> None:
+                    pipeline: str = "sketch",
+                    num_partitions: int | None = None) -> None:
     """Checkpoint one partition's sketch row, then publish it in the
-    manifest (write order = durability order, §4.2)."""
+    manifest (write order = durability order, §4.2).
+
+    ``num_partitions`` records the BUILD-TIME partition count in the
+    manifest so the check side never has to infer it from observed
+    part_ids (empty partitions emit no sketch row; inferring a smaller
+    modulus would misroute keys and produce false negatives)."""
     pid = int(row["part_id"])
     fname = f"part={pid}.parquet"
     table = pa.table({k: [row[k]] for k in SKETCH_SCHEMA.names},
@@ -70,6 +76,8 @@ def write_partition(ckpt_dir: str, row: dict, lineage: dict | None = None,
         "rows_processed": int(row["count"]),
         "file": fname,
     }
+    if num_partitions is not None:
+        man["num_partitions"] = int(num_partitions)
     if lineage:
         man["lineage"].update(lineage)
     _atomic_write(

@@ -140,9 +140,19 @@ def check_membership(
     out_col: str = "member",
     concurrency=(1, 8),
     batch_size: int | None = 16_384,
+    num_partitions: int | None = None,
 ):
     """Membership verdicts for every row of ``ds`` against a built
     sketch table (broadcast once via ray.put; per-actor rehydration).
+
+    ``num_partitions`` MUST equal the build-time partition count.  When
+    None it is inferred as 1+max(part_id) over the sketch rows — only
+    safe if every partition received at least one key at build time
+    (an empty high partition emits no sketch row, and a smaller modulus
+    here would route keys to the wrong partition's bloom, breaking the
+    no-false-negative guarantee).  Builders that checkpoint persist the
+    true count in the manifest (``checkpoint.read_manifest``); the CLI
+    ``check`` command passes it through.
 
     ``concurrency`` defaults to an autoscaling (min, max) pool so the
     actor pool never reserves every CPU up front and starves the
@@ -151,10 +161,12 @@ def check_membership(
     """
     import ray
 
-    num_partitions = 1 + int(max(
-        (row["part_id"] for row in sketch_table.select(["part_id"]).to_pylist()),
-        default=0,
-    ))
+    if num_partitions is None:
+        num_partitions = 1 + int(max(
+            (row["part_id"]
+             for row in sketch_table.select(["part_id"]).to_pylist()),
+            default=0,
+        ))
     ref = ray.put(sketch_table)
     if partitioned and num_partitions > 1:
         ds = ds.map_batches(with_partition_id(key_col, num_partitions),
@@ -398,7 +410,8 @@ def build_scaling_bloom_checkpointed(
     for batch in pending.iter_batches(batch_size=None, batch_format="pyarrow"):
         for row in batch.to_pylist():
             write_partition(ckpt_dir, row, lineage=lineage,
-                            pipeline="scaling_bloom")
+                            pipeline="scaling_bloom",
+                            num_partitions=num_partitions)
     return read_checkpoint(ckpt_dir)
 
 
@@ -410,14 +423,25 @@ def build_sketch_checkpointed(
     num_partitions: int = 16,
     lineage: dict | None = None,
 ) -> pa.Table:
-    """Resumable mergeable-sketch build (counting bloom / HLL / CMS /
-    top-k): the hashed-groupby strategy with per-partition checkpoint
+    """Resumable mergeable-sketch build (counting bloom / HLL / CMS):
+    the hashed-groupby strategy with per-partition checkpoint
     publication, mirroring :func:`build_scaling_bloom_checkpointed`.
     Finished partitions are dropped before the shuffle; a resumed run
     equals an uninterrupted one because every partition's sketch is a
-    pure function of its own keys."""
+    pure function of its own keys.
+
+    Requires a hash-kernel sketch (``add_hashed``); key-preserving
+    sketches like top-k need the string keys this path's hash-only
+    projection discards — build those via :func:`build_sketch`
+    (PartialSketchEmit keeps the key column)."""
     from ..checkpoint import finished_partitions, read_checkpoint, write_partition
 
+    probe = sketch_factory()
+    if not hasattr(probe, "add_hashed"):
+        raise TypeError(
+            f"build_sketch_checkpointed requires a hash-kernel sketch "
+            f"with add_hashed(); {type(probe).__name__} does not have "
+            f"one — use build_sketch() for key-preserving sketches")
     done = finished_partitions(ckpt_dir)
     if set(done) >= set(range(num_partitions)):
         return read_checkpoint(ckpt_dir)
@@ -442,7 +466,8 @@ def build_sketch_checkpointed(
     for batch in pending.iter_batches(batch_size=None, batch_format="pyarrow"):
         for row in batch.to_pylist():
             write_partition(ckpt_dir, row, lineage=lineage,
-                            pipeline="sketch_build")
+                            pipeline="sketch_build",
+                            num_partitions=num_partitions)
     return read_checkpoint(ckpt_dir)
 
 

@@ -56,6 +56,10 @@ class _CosinePairs:
         self.threshold = threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # Ray Data can produce empty blocks
+            return pa.table({"left_id": pa.array([], pa.int64()),
+                             "right_id": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
         bids = batch.column(self.id_col).to_numpy()
         bm = _normalize(_to_matrix(batch.column(self.vec_col)))
         sims = bm @ self.matrix.T  # (batch, N)

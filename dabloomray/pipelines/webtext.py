@@ -140,12 +140,17 @@ def webtext_pipeline_resumable(
         if os.path.isdir(input_path) else [input_path]
     done = 0
     for i, f in enumerate(files):
-        sid = str(i)
-        if sid in manifest["shards"]:
+        # keyed by input basename, NOT enumeration index: if files are
+        # added/removed between a failed run and its resume, indices
+        # shift and an index key would skip or overwrite the wrong
+        # shards.  Double-check the recorded input path before skipping.
+        sid = os.path.basename(f)
+        prev = manifest["shards"].get(sid)
+        if prev is not None and prev.get("input") == f:
             continue
         if max_shards is not None and done >= max_shards:
             break
-        shard_dir = os.path.join(out_dir, f"shard={i}")
+        shard_dir = os.path.join(out_dir, f"shard={sid}")
         tmp_dir = shard_dir + ".tmp"
         import shutil
 
@@ -169,7 +174,7 @@ def webtext_pipeline_resumable(
         out = out.map_batches(fingerprint, batch_format="pyarrow")
         out.write_parquet(tmp_dir)
         os.replace(tmp_dir, shard_dir)  # atomic publish of the shard
-        manifest["shards"][sid] = {"input": f, "dir": f"shard={i}"}
+        manifest["shards"][sid] = {"input": f, "dir": f"shard={sid}"}
         _atomic_write(man_path, lambda tmp: open(tmp, "w").write(
             json.dumps(manifest, indent=1, sort_keys=True)))
         done += 1

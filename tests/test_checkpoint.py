@@ -136,3 +136,37 @@ def test_unreferenced_partition_file_ignored(tmp_path, words_ds):
     pq.write_table(full.slice(0, 1), stray)
     assert 99 not in finished_partitions(ckpt)
     assert read_checkpoint(ckpt).num_rows == 2
+
+
+def test_check_membership_empty_high_partitions(tmp_path, ray_session):
+    """ADVICE r1 (medium): with more partitions than keys, the highest
+    partitions emit no sketch row; inferring num_partitions from
+    observed part_ids at check time would shrink the modulus and route
+    keys to the wrong bloom → false negatives.  The manifest persists
+    the build-time count; passing it through must give zero FNs."""
+    import ray.data as rd
+
+    from dabloomray.pipelines.core import check_membership
+    from dabloomray.stages.build import with_partition_id
+
+    keys = [f"k{i}" for i in range(12)]
+    tab = pa.table({"word": pa.array(keys, pa.string()),
+                    "seq_id": pa.array(range(12), pa.int64())})
+    ds = rd.from_arrow(tab)
+    P = 64
+    ckpt = str(tmp_path / "ckpt")
+    final = build_scaling_bloom_checkpointed(
+        ds, "word", "seq_id", ckpt,
+        policy=ScalingPolicy(capacity0=1000, target_error=0.05),
+        num_partitions=P)
+    # precondition for the regression: some high partition is empty
+    max_pid = pc.max(final.column("part_id")).as_py()
+    assert max_pid < P - 1, "fixture no longer exercises the bug"
+    man = read_manifest(ckpt)
+    assert man["num_partitions"] == P
+
+    out = collect(check_membership(rd.from_arrow(tab), final, "word",
+                                   num_partitions=man["num_partitions"]))
+    verdicts = dict(zip(out.column("word").to_pylist(),
+                        out.column("member").to_pylist()))
+    assert all(verdicts[k] for k in keys)  # zero false negatives

@@ -75,15 +75,19 @@ def test_resumable_shards_kill_and_resume(ray_session, tmp_path_factory,
     webtext_pipeline_resumable(str(src), b, policy=pol, num_partitions=4)
 
     for i in range(3):
-        ta = pq.read_table(f"{a}/shard={i}").sort_by("seq_id")
-        tb = pq.read_table(f"{b}/shard={i}").sort_by("seq_id")
+        ta = pq.read_table(f"{a}/shard=part-{i}.parquet").sort_by("seq_id")
+        tb = pq.read_table(f"{b}/shard=part-{i}.parquet").sort_by("seq_id")
         assert ta.column("url").to_pylist() == tb.column("url").to_pylist()
         assert ta.column("fp").to_pylist() == tb.column("fp").to_pylist()
     # global dedup semantics preserved across shards
     all_urls = []
     for i in range(3):
-        all_urls += pq.read_table(f"{a}/shard={i}").column("url").to_pylist()
+        all_urls += pq.read_table(
+            f"{a}/shard=part-{i}.parquet").column("url").to_pylist()
     assert len(all_urls) == len(set(all_urls))
+    # manifest keys are input basenames (not enumeration indices), so a
+    # file added between runs cannot shift-skip existing shards
+    assert set(m2["shards"]) == {f"part-{i}.parquet" for i in range(3)}
 
 
 def test_webtext_deterministic_across_parallelism(ray_session, corpus_path,
