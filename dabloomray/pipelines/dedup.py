@@ -12,13 +12,26 @@ standard training-data dedup stack, Ray-Data-first —
   broadcast matrix; the scale path buckets by random-hyperplane LSH.
 
 Scale notes (10^12 docs): candidate generation is a shuffle keyed on
-(band_id, band_hash) — only (doc_id, key) pairs move, never text.  The
-verify stage here broadcasts the text column via ``ray.put`` (fine to
-~10^6 docs); beyond that, repartition candidate pairs by hash(doc_id)
-bucket and join text within buckets (SURVEY.md §2.6 join pattern).
+(band_id, band_hash) — only (doc_id, key) pairs move, never text.
+Candidate pairs are deduplicated with a hash-partitioned grouped
+aggregate (never a repartition(1) funnel), and the exact-Jaccard
+verify joins text to the pairs with bucketed ``Dataset.join``s: a
+left_semi join filters the corpus to docs appearing in >=1 pair (the
+only full-corpus shuffle), then two inner joins attach left/right
+text within hash buckets.  Nothing is ever broadcast or collected on
+the driver, so the pipeline holds at 100-TB corpora.
+
+Degenerate LSH buckets (e.g. thousands of empty or identical docs
+sharing a band hash) would make the in-bucket all-pairs quadratic;
+buckets above ``max_bucket`` are star-linked to their smallest doc_id
+instead (linear, connectivity-preserving — correct for grouping /
+keep-first; pair LISTING inside such a bucket is intentionally
+reduced, reported via the ``bucket_size`` column).
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 import pyarrow as pa
@@ -26,7 +39,11 @@ import pyarrow as pa
 from ..fixtures import splitmix64
 from ..hashing import murmur3_x64_128_batch
 
+_LOG = logging.getLogger("dabloomray.dedup")
+
 _MERSENNE = (1 << 61) - 1
+
+DEFAULT_MAX_BUCKET = 1024
 
 
 # ---------------------------------------------------------------------------
@@ -112,30 +129,88 @@ class MinHashBands:
         })
 
 
-def candidate_pairs_from_bands(bands_ds):
-    """groupby(band_id, band_hash) → unique candidate (a<b) pairs."""
+def bucket_pair_indices(n: int, max_bucket: int) -> tuple[np.ndarray, np.ndarray]:
+    """In-bucket pair indices with the quadratic-blowup guard: all
+    (a<b) pairs for normal buckets; star-linking (everything to index
+    0, the smallest id) for buckets larger than ``max_bucket`` —
+    linear in bucket size and connectivity-preserving."""
+    if n > max_bucket:
+        _LOG.warning("LSH bucket of %d docs exceeds max_bucket=%d; "
+                     "star-linking instead of all-pairs", n, max_bucket)
+        return (np.zeros(n - 1, dtype=np.int64),
+                np.arange(1, n, dtype=np.int64))
+    return np.triu_indices(n, k=1)
+
+
+def distinct_pairs(pairs_ds, extra_col: str | None = None,
+                   num_partitions: int = 16):
+    """Drop duplicate (left_id, right_id) rows produced by multiple
+    bands/tables — bucketed by pair hash into ``num_partitions``
+    groups, vectorized np dedup inside each (NOT a repartition(1)
+    funnel; every identical pair lands in the same bucket, so the
+    dedup is exact).  ``extra_col`` (e.g. bucket_size, hamming,
+    cos_sim) survives as its per-pair max.
+
+    Implementation note: this deliberately uses ``map_groups`` (sort
+    shuffle) rather than ``groupby().aggregate()`` — Ray 2.49's hash
+    aggregate emits schema-less empty blocks for empty partitions,
+    which the downstream ``Dataset.join`` rejects
+    ("No match ... for key field reference")."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        l = batch.column("left_id").to_numpy().astype(np.uint64)
+        r = batch.column("right_id").to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = splitmix64(23, l * np.uint64(0x9E3779B97F4A7C15) + r)
+        return batch.append_column(
+            "_part", pa.array((h % np.uint64(num_partitions))
+                              .astype(np.int32)))
+
+    def dedup_group(group: pa.Table) -> pa.Table:
+        l = group.column("left_id").to_numpy()
+        r = group.column("right_id").to_numpy()
+        if extra_col:
+            x = group.column(extra_col).to_numpy()
+            # sort by (l, r, x): the LAST row of each (l, r) run carries
+            # the max extra value — deterministic
+            order = np.lexsort((x, r, l))
+        else:
+            order = np.lexsort((r, l))
+        l, r = l[order], r[order]
+        last = np.concatenate([(l[1:] != l[:-1]) | (r[1:] != r[:-1]), [True]])
+        cols = {"left_id": pa.array(l[last], pa.int64()),
+                "right_id": pa.array(r[last], pa.int64())}
+        if extra_col:
+            cols[extra_col] = pa.array(
+                group.column(extra_col).to_numpy()[order][last])
+        return pa.table(cols)
+
+    return (pairs_ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part").map_groups(dedup_group,
+                                         batch_format="pyarrow"))
+
+
+def candidate_pairs_from_bands(bands_ds, max_bucket: int = DEFAULT_MAX_BUCKET):
+    """groupby(band_id, band_hash) → distinct candidate (a<b) pairs.
+    ``bucket_size`` reports the generating bucket's size (max over
+    bands) so capped buckets are visible downstream."""
 
     def pairs(group: pa.Table) -> pa.Table:
         ids = np.unique(group.column("doc_id").to_numpy())
         if len(ids) < 2:
             return pa.table({"left_id": pa.array([], pa.int64()),
-                             "right_id": pa.array([], pa.int64())})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pa.table({"left_id": pa.array(ids[a], pa.int64()),
-                         "right_id": pa.array(ids[b], pa.int64())})
+                             "right_id": pa.array([], pa.int64()),
+                             "bucket_size": pa.array([], pa.int64())})
+        a, b = bucket_pair_indices(len(ids), max_bucket)
+        return pa.table({
+            "left_id": pa.array(ids[a], pa.int64()),
+            "right_id": pa.array(ids[b], pa.int64()),
+            "bucket_size": pa.array(np.full(len(a), len(ids)), pa.int64()),
+        })
 
     cand = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
         pairs, batch_format="pyarrow")
-
-    def dedup_pairs(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = batch.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    # coalesce then drop duplicate pairs produced by multiple bands
-    return cand.repartition(1).map_batches(dedup_pairs, batch_format="pyarrow",
-                                           batch_size=None)
+    return distinct_pairs(cand, extra_col="bucket_size")
 
 
 # ---------------------------------------------------------------------------
@@ -151,53 +226,123 @@ def jaccard(a: str, b: str, ngram: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-class JaccardVerify:
-    """Actor stage: exact n-gram Jaccard for candidate pairs; text
-    lookup from a broadcast {doc_id: text} dict (see module docstring
-    for the beyond-broadcast scale path)."""
+def drop_empty_blocks(mat_ds):
+    """Ray map operators SKIP zero-row blocks, so a schema-changing
+    ``map_batches`` leaves stale-schema empties behind, which
+    ``Dataset.join`` rejects ("No match ... for key field reference").
+    Strip them from a MATERIALIZED dataset — block refs are re-listed,
+    the blocks themselves stay distributed in the object store; nothing
+    is fetched to the driver.  Returns None when every block is empty
+    (callers short-circuit with a correctly-typed empty result)."""
+    import ray.data as rd
 
-    def __init__(self, texts_ref, threshold: float, ngram: int = 3):
-        import ray
+    refs = [ref
+            for bundle in mat_ds.iter_internal_ref_bundles()
+            for ref, md in zip(bundle.block_refs, bundle.metadata)
+            if md.num_rows]
+    if not refs:
+        return None
+    return rd.from_arrow_refs(refs)
 
-        self.texts = ray.get(texts_ref)
-        self.threshold = threshold
-        self.ngram = ngram
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        left = batch.column("left_id").to_pylist()
-        right = batch.column("right_id").to_pylist()
-        sims = np.array([
-            jaccard(self.texts.get(l, ""), self.texts.get(r, ""), self.ngram)
-            for l, r in zip(left, right)
+def attach_pair_texts(pairs_ds, ds, id_col: str, text_col: str,
+                      num_partitions: int = 8):
+    """Attach left_text/right_text to candidate pairs with bucketed
+    joins — the distributed verify path (zero driver collect, zero
+    ``ray.put`` of corpus text):
+
+    1. left_semi join filters the corpus to docs appearing in >= 1
+       candidate pair (the only shuffle that touches every text, and
+       it exits carrying only the needed rows);
+    2. two hash-partitioned inner joins attach text for each side.
+
+    The intermediates (pairs, pair-referenced texts) are materialized
+    between shuffles: they are candidate-bounded — orders of magnitude
+    smaller than the corpus, blocks stay distributed in the object
+    store (spillable), nothing lands on the driver — and sequencing
+    the hash-shuffle stages keeps each one's aggregator pool from
+    deadlocking against the others on a small CPU budget (also avoids
+    recomputing the semi-join, which both inner joins consume).
+    """
+
+    def pair_ids(batch: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([
+            batch.column("left_id").cast(pa.int64()).combine_chunks(),
+            batch.column("right_id").cast(pa.int64()).combine_chunks(),
         ])
-        keep = sims >= self.threshold
-        out = batch.filter(pa.array(keep))
-        return out.append_column("jaccard",
-                                 pa.array(np.round(sims[keep], 6), pa.float64()))
+        return pa.table({"_pid": both})
+
+    pairs_ds = drop_empty_blocks(pairs_ds.materialize())
+    if pairs_ds is None:
+        return None
+    ids_ds = pairs_ds.map_batches(pair_ids, batch_format="pyarrow")
+    needed = drop_empty_blocks(
+        ds.select_columns([id_col, text_col]).join(
+            ids_ds, join_type="left_semi", num_partitions=num_partitions,
+            on=(id_col,), right_on=("_pid",)).materialize())
+    if needed is None:
+        return None
+
+    def rename(to_id: str, to_text: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.select([id_col, text_col]).rename_columns(
+                [to_id, to_text])
+        return fn
+
+    lt = needed.map_batches(rename("_lid", "left_text"),
+                            batch_format="pyarrow")
+    rt = needed.map_batches(rename("_rid", "right_text"),
+                            batch_format="pyarrow")
+    j = drop_empty_blocks(
+        pairs_ds.join(lt, join_type="inner", num_partitions=num_partitions,
+                      on=("left_id",), right_on=("_lid",)).materialize())
+    if j is None:
+        return None
+    return j.join(rt, join_type="inner", num_partitions=num_partitions,
+                  on=("right_id",), right_on=("_rid",))
+
+
+def _verify_jaccard(threshold: float, ngram: int):
+    """Stateless verify fn over pair rows carrying their own text."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lt = batch.column("left_text").to_pylist()
+        rt = batch.column("right_text").to_pylist()
+        sims = np.array([jaccard(a, b, ngram) for a, b in zip(lt, rt)],
+                        dtype=np.float64)
+        keep = sims >= threshold if len(batch) else np.zeros(0, dtype=bool)
+        out = batch.filter(pa.array(keep)).select(["left_id", "right_id"])
+        return out.append_column(
+            "jaccard", pa.array(np.round(sims[keep], 6), pa.float64()))
+
+    return fn
 
 
 def minhash_lsh_dedup(ds, id_col: str, text_col: str, threshold: float = 0.8,
-                      num_perm: int = 128, bands: int = 32, ngram: int = 3):
+                      num_perm: int = 128, bands: int = 32, ngram: int = 3,
+                      max_bucket: int = DEFAULT_MAX_BUCKET,
+                      num_partitions: int = 8):
     """Full MinHash-LSH near-dup pipeline → verified pairs
-    (left_id, right_id, jaccard), jaccard >= threshold."""
-    import ray
+    (left_id, right_id, jaccard), jaccard >= threshold.  Fully
+    distributed: candidates shuffle as (doc_id, band key) rows, text
+    reaches the verify stage via bucketed joins (module docstring) —
+    the driver never holds texts or pair lists."""
+    import ray.data as rd
 
     bands_ds = ds.map_batches(
         MinHashBands(id_col, text_col, num_perm, bands, ngram),
         batch_format="pyarrow")
-    cand = candidate_pairs_from_bands(bands_ds)
-    texts = {}
-    for b in ds.select_columns([id_col, text_col]).iter_batches(
-            batch_size=None, batch_format="pyarrow"):
-        texts.update(zip(b.column(id_col).to_pylist(),
-                         b.column(text_col).to_pylist()))
-    ref = ray.put(texts)
-    return cand.map_batches(
-        JaccardVerify,
-        fn_constructor_kwargs={"texts_ref": ref, "threshold": threshold,
-                               "ngram": ngram},
-        batch_format="pyarrow", concurrency=(1, 4),
-    )
+    cand = candidate_pairs_from_bands(bands_ds, max_bucket=max_bucket) \
+        .drop_columns(["bucket_size"])
+    pairs = attach_pair_texts(cand, ds, id_col, text_col,
+                              num_partitions=num_partitions)
+    if pairs is None:  # no candidate pairs anywhere
+        return rd.from_arrow(pa.table({
+            "left_id": pa.array([], pa.int64()),
+            "right_id": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+    return pairs.map_batches(_verify_jaccard(threshold, ngram),
+                             batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -296,9 +441,10 @@ class SimHashStage:
 
 
 def simhash_dedup(ds, id_col: str, text_col: str, max_hamming: int = 3,
-                  ngram: int = 2):
+                  ngram: int = 2, max_bucket: int = DEFAULT_MAX_BUCKET):
     """SimHash near-dup: pigeonhole banding on 4x16-bit chunks (any
-    pair with hamming <= 3 must agree on >= 1 chunk) → hamming verify.
+    pair with hamming <= 3 must agree on >= 1 chunk) → hamming verify
+    inside the bucket → distinct pairs via grouped aggregate.
     Returns (left_id, right_id, hamming) pairs."""
 
     sh_ds = ds.map_batches(SimHashStage(id_col, text_col, ngram),
@@ -330,26 +476,17 @@ def simhash_dedup(ds, id_col: str, text_col: str, max_hamming: int = 3,
             return pa.table({"left_id": pa.array([], pa.int64()),
                              "right_id": pa.array([], pa.int64()),
                              "hamming": pa.array([], pa.int64())})
-        a, b = np.triu_indices(len(ids), k=1)
+        a, b = bucket_pair_indices(len(ids), max_bucket)
         x = sh[a] ^ sh[b]
         ham = np.zeros(len(x), dtype=np.int64)
         while x.any():
             ham += (x & np.uint64(1)).astype(np.int64)
             x = x >> np.uint64(1)
-        return pa.table({"left_id": pa.array(ids[a], pa.int64()),
-                         "right_id": pa.array(ids[b], pa.int64()),
-                         "hamming": pa.array(ham, pa.int64())})
+        keep = ham <= max_hamming  # verify in-bucket, before any shuffle
+        return pa.table({"left_id": pa.array(ids[a[keep]], pa.int64()),
+                         "right_id": pa.array(ids[b[keep]], pa.int64()),
+                         "hamming": pa.array(ham[keep], pa.int64())})
 
     cand = bands.groupby(["band_id", "band_hash"]).map_groups(
         pairs, batch_format="pyarrow")
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = batch.to_pandas()
-        df = df[df["hamming"] <= max_hamming].drop_duplicates(
-            ["left_id", "right_id"])
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    return cand.repartition(1).map_batches(finalize, batch_format="pyarrow",
-                                           batch_size=None)
+    return distinct_pairs(cand, extra_col="hamming")

@@ -264,6 +264,10 @@ def _hyperplanes(dim: int, nbits: int, seed: int = 33) -> np.ndarray:
 
 
 class _LshBucket:
+    """Bucket projection; rows CARRY their (normalized) vector so the
+    in-bucket verify needs no side lookup — the bucket groupby shuffles
+    ntables copies of each vector, and nothing is ever broadcast."""
+
     def __init__(self, id_col: str, vec_col: str, dim: int, nbits: int,
                  ntables: int):
         self.id_col = id_col
@@ -273,35 +277,45 @@ class _LshBucket:
         self.nbits = nbits
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "table_id": pa.array([], pa.int32()),
+                "bucket": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "vec": pa.array([], pa.list_(pa.float64())),
+            })
         ids = batch.column(self.id_col).to_numpy().astype(np.int64)
         m = _normalize(_to_matrix(batch.column(self.vec_col)))
-        tables, buckets, out_ids = [], [], []
+        ntables = len(self.planes)
+        vecs = pa.array(list(np.tile(m, (ntables, 1))),
+                        pa.list_(pa.float64()))
+        tables, buckets = [], []
         pow2 = 1 << np.arange(self.nbits, dtype=np.int64)
         for t, planes in enumerate(self.planes):
             signs = (m @ planes) > 0
             code = signs @ pow2
             tables.append(np.full(len(ids), t, dtype=np.int32))
             buckets.append(code.astype(np.int64))
-            out_ids.append(ids)
         return pa.table({
             "table_id": pa.array(np.concatenate(tables)),
             "bucket": pa.array(np.concatenate(buckets), pa.int64()),
-            "vec_id": pa.array(np.concatenate(out_ids), pa.int64()),
+            "vec_id": pa.array(np.tile(ids, ntables), pa.int64()),
+            "vec": vecs,
         })
 
 
 def lsh_neardup_pairs(ds, id_col: str, vec_col: str, dim: int,
                       threshold: float = 0.9, nbits: int = 12,
-                      ntables: int = 8):
+                      ntables: int = 8, max_bucket: int = 1024):
     """Approximate near-dup pairs: random-hyperplane bucket keys per
-    table → groupby(table, bucket) → exact cosine within bucket.
-    Collision prob per table for angle θ: (1-θ/π)^nbits; ntables
-    tables union the candidates.  No all-pairs matmul, no broadcast of
-    the full matrix — the 10^12-scale path."""
-    import ray
-
-    ids, matrix = collect_embeddings(ds, id_col, vec_col)
-    ref = ray.put((ids, matrix))  # bucket verify still needs vectors
+    table → groupby(table, bucket) → exact cosine within bucket from
+    the vectors carried on the bucket rows.  Collision prob per table
+    for angle θ: (1-θ/π)^nbits; ntables tables union the candidates.
+    No all-pairs matmul, no broadcast/collect of the embedding matrix
+    — the 10^12-scale path.  Buckets above ``max_bucket`` are
+    star-linked to their smallest id (linear, not quadratic; see
+    dedup.bucket_pair_indices)."""
+    from .dedup import bucket_pair_indices, distinct_pairs
 
     buckets = ds.map_batches(
         _LshBucket,
@@ -312,32 +326,24 @@ def lsh_neardup_pairs(ds, id_col: str, vec_col: str, dim: int,
     )
 
     def pairs(group: pa.Table) -> pa.Table:
-        all_ids, m = ray.get(ref)
-        gids = np.unique(group.column("vec_id").to_numpy())
-        if len(gids) < 2:
+        gids = group.column("vec_id").to_numpy()
+        order = np.argsort(gids, kind="stable")
+        first = order[np.concatenate([[True], np.diff(gids[order]) != 0])]
+        if len(first) < 2:
             return pa.table({"left_id": pa.array([], pa.int64()),
                              "right_id": pa.array([], pa.int64()),
                              "cos_sim": pa.array([], pa.float64())})
-        pos = np.searchsorted(all_ids, gids)
-        sub = m[pos]
-        sims = sub @ sub.T
-        a, b = np.triu_indices(len(gids), k=1)
-        keep = sims[a, b] >= threshold
+        ids_u = gids[first]
+        sub = _to_matrix(group.column("vec").take(pa.array(first)))
+        a, b = bucket_pair_indices(len(ids_u), max_bucket)
+        sims = np.einsum("ij,ij->i", sub[a], sub[b])
+        keep = sims >= threshold
         return pa.table({
-            "left_id": pa.array(gids[a[keep]], pa.int64()),
-            "right_id": pa.array(gids[b[keep]], pa.int64()),
-            "cos_sim": pa.array(np.round(sims[a, b][keep], 6), pa.float64()),
+            "left_id": pa.array(ids_u[a[keep]], pa.int64()),
+            "right_id": pa.array(ids_u[b[keep]], pa.int64()),
+            "cos_sim": pa.array(np.round(sims[keep], 6), pa.float64()),
         })
 
     cand = buckets.groupby(["table_id", "bucket"]).map_groups(
         pairs, batch_format="pyarrow")
-
-    def dedup(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        return pa.Table.from_pandas(
-            batch.to_pandas().drop_duplicates(["left_id", "right_id"]),
-            preserve_index=False)
-
-    return cand.repartition(1).map_batches(dedup, batch_format="pyarrow",
-                                           batch_size=None)
+    return distinct_pairs(cand, extra_col="cos_sim")

@@ -101,3 +101,82 @@ def test_word_ngrams_edges():
     assert word_ngrams("", 3) == []
     assert word_ngrams("a b", 3) == ["a b"]
     assert word_ngrams("a b c d", 3) == ["a b c", "b c d"]
+
+
+def test_minhash_distributed_verify_no_large_put(ray_session, monkeypatch):
+    """VERDICT r1 #1: the near-dup verify must never broadcast the
+    corpus — no ray.put of any object over ~10 MB anywhere in the
+    minhash pipeline (the old path put a {doc_id: text} dict)."""
+    import pickle
+
+    import ray
+    import ray.data as rd
+
+    puts = []
+    real_put = ray.put
+
+    def _size(obj):
+        if isinstance(obj, pa.Table):
+            return obj.nbytes
+        if isinstance(obj, dict):  # the old path put a {doc_id: text} dict
+            return sum(len(str(k)) + len(str(v)) for k, v in obj.items())
+        try:
+            return len(pickle.dumps(obj))
+        except Exception:
+            return 0  # unpicklable Ray internals — not a corpus broadcast
+
+    def spy_put(obj, *a, **kw):
+        puts.append(_size(obj))
+        return real_put(obj, *a, **kw)
+
+    monkeypatch.setattr(ray, "put", spy_put)
+    docs = corpus()
+    ds = rd.from_items(
+        [{"doc_id": k, "text": v} for k, v in docs.items()])
+    out = minhash_lsh_dedup(ds, "doc_id", "text", threshold=0.5).take_all()
+    assert {(r["left_id"], r["right_id"]) for r in out} == \
+        brute_force_pairs(docs, 0.5)
+    assert all(0 <= s < 10 * 1024 * 1024 for s in puts)
+
+
+def test_degenerate_bucket_star_linked(ray_session):
+    """VERDICT r1 #8: thousands of identical docs share every band
+    hash; all-pairs would be quadratic (~50M pairs at 10k docs).  The
+    cap star-links the bucket: linear candidate volume, connectivity
+    (and thus keep-first grouping) preserved, bucket_size reported."""
+    import time
+
+    import ray.data as rd
+
+    from dabloomray.pipelines.dedup import (
+        MinHashBands,
+        candidate_pairs_from_bands,
+        near_dedup_keep_first,
+    )
+
+    n = 10_000
+    tab = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["all documents share this exact text body "
+                          "word word word"] * n, pa.string()),
+    })
+    ds = rd.from_arrow(tab).repartition(4)
+    bands = ds.map_batches(MinHashBands("doc_id", "text", 64, 16),
+                           batch_format="pyarrow")
+    t0 = time.time()
+    cand = pa.concat_tables(list(
+        candidate_pairs_from_bands(bands, max_bucket=1024)
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
+    elapsed = time.time() - t0
+    # star-linking: n-1 distinct pairs (0,j), not n*(n-1)/2
+    assert cand.num_rows == n - 1
+    assert set(cand.column("left_id").to_pylist()) == {0}
+    # the cap is visible downstream: generating bucket size reported
+    assert max(cand.column("bucket_size").to_pylist()) == n
+    assert elapsed < 120  # bounded; all-pairs at 50M rows x 16 bands isn't
+
+    # keep-first over the capped bucket still collapses the group
+    kept = near_dedup_keep_first(ds, "doc_id", "text", threshold=0.9,
+                                 num_perm=64, bands=16)
+    ids = sorted(r["doc_id"] for r in kept.take_all())
+    assert ids == [0]
