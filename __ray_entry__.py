@@ -508,6 +508,64 @@ def _q_knn_ivf(sf_dir: str):
                    vec_col="embedding", k=10, nlist=16, nprobe=6)
 
 
+def _q_supplier_by_nation(sf_dir: str):
+    """Broadcast small-side dimension join: nation (25 rows) is
+    ray.put once and looked up inside map_batches — zero shuffle of
+    the supplier side (contrast with the hash-partitioned
+    Dataset.join in orders_by_segment)."""
+    from ray.data.aggregate import Count, Sum
+
+    from dabloomray.stages.lookup import broadcast_join
+
+    nation = _collect(_read(sf_dir, "nation",
+                            columns=["n_nationkey", "n_name"]))
+    sup = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+    joined = broadcast_join(sup, nation, dim_key="n_nationkey",
+                            key_col="s_nationkey", add_cols=["n_name"])
+    out = joined.groupby("n_name").aggregate(
+        Count(alias_name="n_suppliers"),
+        Sum("s_acctbal", alias_name="total_bal"),
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("total_bal"), "total_bal",
+            pc.round(t.column("total_bal"), 2)),
+        batch_format="pyarrow")
+
+
+def _q_customers_by_region(sf_dir: str):
+    """Two-hop broadcast dimension join (customer → nation → region):
+    both dimension tables broadcast once; the customer side never
+    shuffles."""
+    from dabloomray.stages.lookup import broadcast_join
+
+    nation = _collect(_read(sf_dir, "nation",
+                            columns=["n_nationkey", "n_regionkey"]))
+    region = _collect(_read(sf_dir, "region",
+                            columns=["r_regionkey", "r_name"]))
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    j1 = broadcast_join(cust, nation, dim_key="n_nationkey",
+                        key_col="c_nationkey", add_cols=["n_regionkey"])
+    j2 = broadcast_join(j1, region, dim_key="r_regionkey",
+                        key_col="n_regionkey", add_cols=["r_name"])
+    out = j2.groupby("r_name").count()
+    return out.map_batches(
+        lambda t: t.rename_columns(["r_name", "n_customers"]),
+        batch_format="pyarrow")
+
+
+def _q_docs_hash_sample(sf_dir: str):
+    """Deterministic hash-Bernoulli sample (SURVEY.md §2.6 sampling):
+    keep docs with murmur64(text) below 20% of the hash space —
+    reproducible across runs/parallelism, duplicates sampled together
+    (rows-only: murmur64 has no DuckDB equivalent; determinism and the
+    binomial bound are asserted in tests/test_sample.py)."""
+    from dabloomray.stages.sample import sample_by_hash
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return sample_by_hash(docs, "text", 0.2).select_columns(["doc_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dedup_documents_exact": _q_dedup_documents_exact,
@@ -537,6 +595,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_types_sketch": _q_top_event_types_sketch,
         "orders_by_segment": _q_orders_by_segment,
         "purchase_after_signup": _q_purchase_after_signup,
+        "supplier_by_nation": _q_supplier_by_nation,
+        "customers_by_region": _q_customers_by_region,
+        "docs_hash_sample": _q_docs_hash_sample,
     }
 
 
@@ -633,6 +694,16 @@ def oracle_sql() -> dict[str, str]:
         "top_value_events": (
             "SELECT event_id, value FROM events "
             "ORDER BY value DESC, event_id LIMIT 100"
+        ),
+        "supplier_by_nation": (
+            "SELECT n_name, COUNT(*) AS n_suppliers, "
+            "ROUND(SUM(s_acctbal), 2) AS total_bal FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "customers_by_region": (
+            "SELECT r_name, COUNT(*) AS n_customers FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
         ),
         # value_quantiles_tdigest / nchars_quantiles_kll /
         # minhash_dedup_pairs / simhash_dedup_pairs / lang_id_counts:

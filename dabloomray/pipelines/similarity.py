@@ -196,61 +196,124 @@ def _kmeans(matrix: np.ndarray, k: int, iters: int = 8,
     return cents
 
 
+class _AssignBucket:
+    """Actor stage: nearest-coarse-centroid bucket per vector; rows
+    carry their normalized vector so the bucket scan needs no side
+    lookup.  Centroids (nlist x dim — tiny) are the only broadcast."""
+
+    def __init__(self, cents_ref, id_col: str, vec_col: str):
+        import ray
+
+        self.cents = ray.get(cents_ref)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.list_(pa.float64()))})
+        ids = batch.column(self.id_col).to_numpy().astype(np.int64)
+        m = _normalize(_to_matrix(batch.column(self.vec_col)))
+        b = np.argmax(m @ self.cents.T, axis=1).astype(np.int32)
+        return pa.table({"bucket": pa.array(b),
+                         "vec_id": pa.array(ids, pa.int64()),
+                         "vec": pa.array(list(m), pa.list_(pa.float64()))})
+
+
 def ivf_knn(ds, query_ids, id_col: str, vec_col: str, k: int = 10,
-            nlist: int = 16, nprobe: int = 4):
-    """IVF approximate top-k: vectors bucketed by nearest coarse
-    centroid (one pass, ``groupby(bucket)`` layout); each query scans
-    only its ``nprobe`` nearest buckets.  At 10^12 scale the bucket
-    layout is a one-off repartition and each query touches
-    ~nprobe/nlist of the data.  Returns (query_id, neighbor_id,
-    cos_sim) — approximate (recall asserted in tests vs brute force)."""
+            nlist: int = 16, nprobe: int = 4, train_target: int = 4096,
+            seed: int = 44):
+    """IVF approximate top-k — the ANN scale path, fully distributed:
+
+    1. coarse quantizer trained on ``ds.random_sample`` (~train_target
+       rows; the SAMPLING operator from SURVEY §2.6) — the full matrix
+       is never collected;
+    2. bucket assignment in ``map_batches`` against broadcast
+       centroids (nlist x dim — tiny), rows carrying their vector;
+    3. bucket scan via ``groupby(bucket).map_groups``: each group
+       serves the queries probing it (queries + probe table broadcast
+       — nq x dim, small by contract);
+    4. global per-query top-k via a second grouped reduce.
+
+    Each query touches ~nprobe/nlist of the data; no driver-side
+    k-means over the corpus, no per-bucket ``ray.put`` of vectors.
+    Returns a Dataset of (query_id, neighbor_id, cos_sim) —
+    approximate (recall asserted in tests vs brute force)."""
     import ray
 
-    ids, matrix = collect_embeddings(ds, id_col, vec_col)
-    cents = _kmeans(matrix, nlist)
-    assign = np.argmax(matrix @ cents.T, axis=1)
+    n = ds.count()
+    frac = min(1.0, train_target / max(n, 1))
+    sample = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
+    _, smat = collect_embeddings(sample, id_col, vec_col)
+    cents = _kmeans(smat, nlist)
+    cents_ref = ray.put(cents)
 
-    qmask = np.isin(ids, np.asarray(list(query_ids), dtype=np.int64))
-    qids, qm = ids[qmask], matrix[qmask]
+    qset = np.asarray(sorted(int(q) for q in query_ids), dtype=np.int64)
+
+    def is_query(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        return batch.filter(pa.array(np.isin(ids, qset)))
+
+    qtab = pa.concat_tables(list(
+        ds.map_batches(is_query, batch_format="pyarrow")
+        .select_columns([id_col, vec_col])
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
+    qids = qtab.column(id_col).to_numpy().astype(np.int64)
+    qm = _normalize(_to_matrix(qtab.column(vec_col)))
     probes = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]
+    qref = ray.put((qids, qm, probes))
 
-    bucket_refs = {}
-    for c in range(nlist):
-        m = assign == c
-        bucket_refs[c] = ray.put((ids[m], matrix[m]))
+    bucketed = ds.map_batches(
+        _AssignBucket,
+        fn_constructor_kwargs={"cents_ref": cents_ref, "id_col": id_col,
+                               "vec_col": vec_col},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
 
-    @ray.remote
-    def scan(bucket, qids_, qm_):
-        bids, bm = bucket  # ObjectRef args are auto-dereferenced
-        out = []
-        sims = qm_ @ bm.T
-        for i, qid in enumerate(qids_):
-            valid = bids != qid
-            idx = np.flatnonzero(valid)
-            order = idx[np.lexsort((bids[idx], -sims[i][idx]))][:k]
-            out.append((qid, bids[order], sims[i][order]))
-        return out
+    def scan(group: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "cos_sim": pa.array([], pa.float64())})
+        if len(group) == 0:
+            return empty
+        qids_, qm_, probes_ = ray.get(qref)
+        b = int(group.column("bucket")[0].as_py())
+        qsel = np.flatnonzero((probes_ == b).any(axis=1))
+        if len(qsel) == 0:
+            return empty
+        bids = group.column("vec_id").to_numpy()
+        bm = _to_matrix(group.column("vec"))
+        sims = qm_[qsel] @ bm.T
+        qi, ni, sv = [], [], []
+        for row, qx in enumerate(qsel):
+            qid = qids_[qx]
+            idx = np.flatnonzero(bids != qid)
+            if len(idx) == 0:
+                continue
+            order = idx[np.lexsort((bids[idx], -sims[row][idx]))][:k]
+            qi.append(np.full(len(order), qid, dtype=np.int64))
+            ni.append(bids[order])
+            sv.append(sims[row][order])
+        if not qi:
+            return empty
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qi), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(ni), pa.int64()),
+            "cos_sim": pa.array(np.concatenate(sv), pa.float64()),
+        })
 
-    # one task per probed bucket, queries grouped by bucket
-    tasks = []
-    for c in range(nlist):
-        qsel = np.flatnonzero((probes == c).any(axis=1))
-        if len(qsel):
-            tasks.append(scan.remote(bucket_refs[c], qids[qsel], qm[qsel]))
-    best: dict[int, list] = {int(q): [] for q in qids}
-    for res in ray.get(tasks):
-        for qid, nids, sims in res:
-            best[int(qid)].extend(zip(nids.tolist(), sims.tolist()))
-    rows_q, rows_n, rows_s = [], [], []
-    for qid, cand in best.items():
-        cand.sort(key=lambda t: (-t[1], t[0]))
-        for nid, s in cand[:k]:
-            rows_q.append(qid)
-            rows_n.append(nid)
-            rows_s.append(round(s, 6))
-    return pa.table({"query_id": pa.array(rows_q, pa.int64()),
-                     "neighbor_id": pa.array(rows_n, pa.int64()),
-                     "cos_sim": pa.array(rows_s, pa.float64())})
+    cand = bucketed.groupby("bucket").map_groups(scan, batch_format="pyarrow")
+
+    def head_k(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.to_pandas().sort_values(
+            ["cos_sim", "neighbor_id"], ascending=[False, True]).head(k)
+        df["cos_sim"] = df["cos_sim"].round(6)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return cand.groupby("query_id").map_groups(head_k, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -27,7 +27,7 @@ def entrymod(ray_session):
 def con():
     c = duckdb.connect()
     for t in ["orders", "lineitem", "events", "documents", "embeddings",
-              "customer"]:
+              "customer", "supplier", "nation", "region"]:
         c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     return c
 

@@ -82,7 +82,7 @@ def test_ivf_knn_recall(emb_ds):
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
     sims = mn @ mn.T
     out = ivf_knn(ds, query_ids=[0, 7, 100], id_col="vec_id",
-                  vec_col="embedding", k=10, nlist=8, nprobe=4).to_pylist()
+                  vec_col="embedding", k=10, nlist=8, nprobe=4).take_all()
     for q in (0, 7, 100):
         got = {r["neighbor_id"] for r in out if r["query_id"] == q}
         s = sims[q].copy()
