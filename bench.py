@@ -182,6 +182,26 @@ def bench_queries(corpus_path: str):
         state["dedup_unique_frac"] = round(n / (0.9 * CORPUS_ROWS), 5)
         return n
 
+    def q_scaling_dedup_join():
+        """Same dedup as q_scaling_dedup with payload='join' — the
+        survivor set stays distributed (Dataset.join left_semi), the
+        beyond-10^8-survivors path that 'auto' falls back to.  Measured
+        so the mask/join trade (ROADMAP r1 #2) is recorded per round."""
+        ds = read_urls(["url", "warc_ts"])
+        ds = ds.map_batches(
+            lambda t: t.append_column(
+                "seq_id", pc.cast(t.column("warc_ts"), pa.int64())),
+            batch_format="pyarrow")
+        out = dedup_approx(ds, "url", "seq_id",
+                           ScalingPolicy(capacity0=50_000, target_error=0.05),
+                           num_partitions=P, payload="join")
+        n = 0
+        for b in out.select_columns(["url"]).iter_batches(
+                batch_size=None, batch_format="pyarrow"):
+            n += len(b)
+        state["dedup_survivors_join"] = n
+        return n
+
     def q_hll_distinct():
         ds = read_urls(["url"])
         tab = pa.concat_tables(list(
@@ -229,6 +249,7 @@ def bench_queries(corpus_path: str):
         "bloom_build": q_bloom_build,
         "bloom_check": q_bloom_check,
         "scaling_dedup": q_scaling_dedup,
+        "scaling_dedup_join": q_scaling_dedup_join,
         "hll_distinct": q_hll_distinct,
         "text_stats": q_text_stats,
     }, state

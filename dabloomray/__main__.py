@@ -108,6 +108,7 @@ def cmd_build(args) -> int:
                              target_error=args.error_rate),
         num_partitions=args.partitions,
         lineage={"input": args.input, "key": args.key},
+        fragment_every=args.fragment_every,
     )
     print(json.dumps({"partitions": table.num_rows,
                       "rows_processed": int(pa_sum(table, "count")),
@@ -181,6 +182,9 @@ def main(argv=None) -> int:
     b.add_argument("--error-rate", type=float, default=0.05)
     b.add_argument("--partitions", type=int, default=32)
     b.add_argument("--ckpt-dir", required=True)
+    b.add_argument("--fragment-every", type=int, default=None,
+                   help="mid-partition checkpoint every N applied rows "
+                        "(fragment-level resume)")
     b.set_defaults(fn=cmd_build)
 
     c = sub.add_parser("check", help="membership verdicts vs checkpoint")

@@ -94,6 +94,60 @@ def write_checkpoint(sketch_table: pa.Table, ckpt_dir: str,
         write_partition(ckpt_dir, row, lineage=lineage, pipeline=pipeline)
 
 
+FRAG_SUFFIX = ".fragment.parquet"
+
+
+def write_fragment(ckpt_dir: str, row: dict, last_seq: int) -> None:
+    """Mid-partition (fragment-level) checkpoint: the partition's
+    chain state after applying every row with seq_id <= ``last_seq``.
+
+    Written ATOMICALLY by the worker building that partition (exactly
+    one writer per partition — partition ownership is exclusive), and
+    deliberately NOT published in the manifest: concurrent workers
+    must not race the manifest's read-modify-write, and a fragment is
+    advisory — losing one only costs replay, never correctness.  On a
+    multi-node cluster ``ckpt_dir`` must be shared storage (the same
+    requirement the manifest already has).
+
+    ``last_seq`` rides in the params JSON (``_frag_seq``) so the
+    resume path knows which input rows are already applied; sketch
+    ``from_state`` ignores unknown params keys."""
+    pid = int(row["part_id"])
+    params = json.loads(row["params"])
+    params["_frag_seq"] = int(last_seq)
+    row = dict(row, params=json.dumps(params, sort_keys=True))
+    table = pa.table({k: [row[k]] for k in SKETCH_SCHEMA.names},
+                     schema=SKETCH_SCHEMA)
+    _atomic_write(os.path.join(ckpt_dir, f"part={pid}{FRAG_SUFFIX}"),
+                  lambda tmp: pq.write_table(table, tmp))
+
+
+def fragment_checkpoints(ckpt_dir: str) -> dict[int, dict]:
+    """{part_id: fragment row} for partitions with a mid-build
+    fragment but NO completed manifest entry (a manifest entry
+    supersedes any leftover fragment)."""
+    import glob
+
+    done = finished_partitions(ckpt_dir)
+    out: dict[int, dict] = {}
+    for path in glob.glob(os.path.join(ckpt_dir, f"part=*{FRAG_SUFFIX}")):
+        row = pq.read_table(path).to_pylist()[0]
+        pid = int(row["part_id"])
+        if pid not in done:
+            out[pid] = row
+    return out
+
+
+def fragment_last_seq(row: dict) -> int:
+    return int(json.loads(row["params"]).get("_frag_seq", -1))
+
+
+def clear_fragment(ckpt_dir: str, pid: int) -> None:
+    path = os.path.join(ckpt_dir, f"part={int(pid)}{FRAG_SUFFIX}")
+    if os.path.exists(path):
+        os.unlink(path)
+
+
 def read_manifest(ckpt_dir: str) -> dict | None:
     path = os.path.join(ckpt_dir, MANIFEST)
     if not os.path.exists(path):

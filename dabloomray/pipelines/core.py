@@ -105,13 +105,22 @@ def build_scaling_bloom(
     num_partitions: int = 16,
     op_col: str | None = None,
     skip_partitions: frozenset | set | None = None,
+    resume_fragments: dict | None = None,
+    frag_dir: str | None = None,
+    fragment_every: int | None = None,
 ):
     """Partition-owned scaling blooms: each key belongs to exactly one
     partition's chain; chains are built in seq order (G2 semantics).
     Returns a Dataset of one sketch row per partition.
     ``skip_partitions``: part_ids already checkpointed (resume path) —
     their rows are dropped right after the partition projection, before
-    the shuffle."""
+    the shuffle.
+    ``resume_fragments``: {part_id: fragment row} from
+    ``checkpoint.fragment_checkpoints`` — those partitions resume from
+    the fragment's chain and rows with ``seq <= _frag_seq`` are
+    dropped BEFORE the shuffle (only unapplied input moves).
+    ``frag_dir`` + ``fragment_every``: write a mid-build fragment
+    checkpoint every N applied rows per partition."""
     policy = policy or ScalingPolicy()
     ds = ds.map_batches(with_partition_id(key_col, num_partitions),
                         batch_format="pyarrow")
@@ -124,7 +133,31 @@ def build_scaling_bloom(
             return batch.filter(keep)
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
-    builder = ScalingChainBuild(policy, key_col, seq_col=seq_col, op_col=op_col)
+    resume_ref = None
+    if resume_fragments:
+        import ray
+
+        from ..checkpoint import fragment_last_seq
+
+        seq_pids = np.array(sorted(resume_fragments), dtype=np.int64)
+        seq_last = np.array([fragment_last_seq(resume_fragments[int(p)])
+                             for p in seq_pids], dtype=np.int64)
+
+        def drop_applied(batch: pa.Table) -> pa.Table:
+            pids = batch.column("part_id").to_numpy().astype(np.int64)
+            seqs = batch.column(seq_col).to_numpy().astype(np.int64)
+            pos = np.minimum(np.searchsorted(seq_pids, pids),
+                             len(seq_pids) - 1)
+            covered = seq_pids[pos] == pids
+            drop = covered & (seqs <= seq_last[pos])
+            return batch.filter(pa.array(~drop))
+
+        ds = ds.map_batches(drop_applied, batch_format="pyarrow")
+        resume_ref = ray.put(resume_fragments)
+    builder = ScalingChainBuild(policy, key_col, seq_col=seq_col,
+                                op_col=op_col, frag_dir=frag_dir,
+                                fragment_every=fragment_every,
+                                resume_ref=resume_ref)
 
     def build_chain(group: pa.Table) -> pa.Table:  # map_groups wants a fn
         return builder(group)
@@ -239,6 +272,7 @@ def dedup_approx(
     num_partitions: int = 16,
     payload: str = "rows",
     apply_to=None,
+    mask_limit: int = 100_000_000,
 ):
     """Approximate streaming dedup: partition by key hash (all dups of a
     key land in one partition — required for correctness, §4.4), gate
@@ -259,10 +293,18 @@ def dedup_approx(
     the mask array would not fit on the driver (mask collects ~8 B per
     survivor; join trades that for a second shuffle of seq ids).
 
-    ``apply_to`` (mask/join modes): apply the survivor filter to this
-    dataset instead of ``ds`` — pass a column-pruned read as ``ds``
-    (key+seq only) and the full-width read here, so phase 1 never
-    deserializes wide columns.
+    ``payload="auto"``: size-aware selection — the gate output (seq
+    ids only, 8 B/row, blocks distributed in the object store) is
+    materialized, its exact count read from metadata, and mask is
+    chosen iff survivors <= ``mask_limit`` (default 10^8 ≈ 800 MB on
+    the driver), else join.  The materialization is not wasted work:
+    mask needs the full survivor set before filtering anyway, and join
+    reuses the blocks without recomputing the gate.
+
+    ``apply_to`` (mask/join/auto modes): apply the survivor filter to
+    this dataset instead of ``ds`` — pass a column-pruned read as
+    ``ds`` (key+seq only) and the full-width read here, so phase 1
+    never deserializes wide columns.
     """
     policy = policy or ScalingPolicy()
     if payload == "rows":
@@ -304,7 +346,15 @@ def dedup_approx(
         .groupby("part_id").map_groups(gate_group, batch_format="pyarrow")
     )
     target = apply_to if apply_to is not None else ds
+    if payload == "auto":
+        survivors_ds = survivors_ds.materialize()
+        n_surv = survivors_ds.count()  # metadata read on materialized ds
+        payload = "mask" if n_surv <= mask_limit else "join"
     if payload == "join":
+        # finish the gate's shuffle before starting the join's: two
+        # concurrent all-to-alls contend for the same task slots, and
+        # the survivor blocks (8 B/row) are cheap to hold
+        survivors_ds = survivors_ds.materialize()
         renamed = survivors_ds.map_batches(
             lambda t: t.rename_columns(["_surv_seq"]),
             batch_format="pyarrow")
@@ -387,6 +437,7 @@ def build_scaling_bloom_checkpointed(
     num_partitions: int = 16,
     op_col: str | None = None,
     lineage: dict | None = None,
+    fragment_every: int | None = None,
 ) -> pa.Table:
     """Resumable scaling-bloom build (SURVEY.md §4.2/§4.3).
 
@@ -397,21 +448,41 @@ def build_scaling_bloom_checkpointed(
     Returns the complete sketch table from the checkpoint.  A resumed
     run is identical to an uninterrupted one because each partition's
     chain is a pure function of its own input rows.
+
+    ``fragment_every``: ALSO checkpoint every N applied rows inside
+    each partition (fragment-level resume, SURVEY.md §4.2).  A killed
+    mid-partition build resumes from the last fragment: rows with
+    ``seq_id <= ckpt _frag_seq`` are dropped before the shuffle, the
+    chain continues from the fragment's state, and the final sketch is
+    byte-identical to an uninterrupted run (tests/test_checkpoint.py).
+    Fragments are superseded by the partition's manifest entry and
+    deleted once it lands.
     """
-    from ..checkpoint import finished_partitions, read_checkpoint, write_partition
+    from ..checkpoint import (
+        clear_fragment,
+        finished_partitions,
+        fragment_checkpoints,
+        read_checkpoint,
+        write_partition,
+    )
 
     done = finished_partitions(ckpt_dir)
     if set(done) >= set(range(num_partitions)):
         return read_checkpoint(ckpt_dir)  # nothing pending: skip the read
+    frags = fragment_checkpoints(ckpt_dir)
     pending = build_scaling_bloom(
         ds, key_col, seq_col, policy=policy, num_partitions=num_partitions,
         op_col=op_col, skip_partitions=set(done),
+        resume_fragments=frags or None,
+        frag_dir=ckpt_dir if fragment_every else None,
+        fragment_every=fragment_every,
     )
     for batch in pending.iter_batches(batch_size=None, batch_format="pyarrow"):
         for row in batch.to_pylist():
             write_partition(ckpt_dir, row, lineage=lineage,
                             pipeline="scaling_bloom",
                             num_partitions=num_partitions)
+            clear_fragment(ckpt_dir, int(row["part_id"]))
     return read_checkpoint(ckpt_dir)
 
 

@@ -405,9 +405,9 @@ def near_dedup_keep_first(ds, id_col: str, text_col: str,
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(texts: list[str], ngram: int = 2) -> np.ndarray:
-    """64-bit simhash per doc (Charikar 2002): sign-sum of feature
-    hash bits, features = word n-grams."""
+def _simhash64_rowwise(texts: list[str], ngram: int = 2) -> np.ndarray:
+    """Reference per-doc implementation (kept for the parity test of
+    the vectorized :func:`simhash64`)."""
     out = np.zeros(len(texts), dtype=np.uint64)
     for i, t in enumerate(texts):
         feats = word_ngrams(t, ngram)
@@ -423,6 +423,39 @@ def simhash64(texts: list[str], ngram: int = 2) -> np.ndarray:
                 << np.arange(64, dtype=np.uint64)
             )
     return out
+
+
+def simhash64(texts: list[str], ngram: int = 2) -> np.ndarray:
+    """64-bit simhash per doc (Charikar 2002): sign-sum of feature
+    hash bits, features = word n-grams.  Vectorized like
+    :func:`minhash_signatures`: ONE murmur pass over the flattened
+    shingle list, per-doc bit sums via ``np.add.reduceat`` —
+    votes = 2*bitsum - n_grams, bit set iff votes > 0."""
+    grams, counts = [], []
+    for t in texts:
+        g = word_ngrams(t, ngram)
+        grams.extend(g)
+        counts.append(len(g))
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if not grams:
+        return out
+    h, _ = murmur3_x64_128_batch(grams, seed=11)
+    # bit column j == (h >> j) & 1 on a little-endian platform:
+    # uint64 byte k holds bits 8k..8k+7, unpackbits(bitorder="little")
+    # emits each byte's bits ascending — one uint8 matrix, no 64x
+    # int64 blowup
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little")
+    counts = np.asarray(counts, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    starts = np.minimum(starts, len(grams) - 1)  # guard trailing empty docs
+    bitsums = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+    votes = 2 * bitsums - counts[:, None]
+    nonempty = counts > 0
+    packed = np.packbits(votes > 0, axis=1, bitorder="little")
+    sh = packed.view(np.uint64).ravel()
+    out[nonempty] = sh[nonempty]  # reduceat rows for empty segments
+    return out                    # duplicate another segment; mask them
 
 
 class SimHashStage:

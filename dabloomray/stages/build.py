@@ -198,37 +198,72 @@ class ScalingChainBuild:
     Emits the chain as one sketch row.  ``op_col`` (optional) carries
     "add"/"remove" so a remove stream interleaves by seq order
     (scaling_bloom_remove ≈L590).
-    """
+
+    Fragment-level resume (SURVEY.md §4.2): with ``frag_dir`` +
+    ``fragment_every`` set, the worker checkpoints the chain every N
+    applied rows (``checkpoint.write_fragment``, atomic, one writer
+    per partition).  ``resume_ref`` (ray.put of {pid: fragment row})
+    rehydrates a partially-built chain; the caller is responsible for
+    filtering already-applied rows (seq <= _frag_seq) BEFORE the
+    shuffle.  Resumption is byte-identical to an uninterrupted build
+    because the chain after a seq-prefix is a pure function of that
+    prefix, and batch-split adds equal sequential adds (§5.2(4))."""
 
     def __init__(self, policy: ScalingPolicy, key_col: str,
                  seq_col: str = "seq_id", part_col: str = "part_id",
-                 op_col: str | None = None):
+                 op_col: str | None = None, frag_dir: str | None = None,
+                 fragment_every: int | None = None, resume_ref=None):
         self.policy = policy
         self.key_col = key_col
         self.seq_col = seq_col
         self.part_col = part_col
         self.op_col = op_col
+        self.frag_dir = frag_dir
+        self.fragment_every = fragment_every
+        self.resume_ref = resume_ref
+
+    def _initial(self, pid: int) -> ScalingBloom:
+        if self.resume_ref is not None:
+            import ray
+
+            frags = ray.get(self.resume_ref)
+            if pid in frags:
+                return sketch_from_row(frags[pid])
+        return ScalingBloom(self.policy)
+
+    def _apply(self, sb: ScalingBloom, group: pa.Table,
+               ids: np.ndarray) -> None:
+        keys = group.column(self.key_col)
+        if self.op_col is None:
+            sb.add(keys, ids)
+            return
+        ops = np.asarray(group.column(self.op_col).to_pylist())
+        # contiguous runs of the same op keep relative seq order
+        change = np.flatnonzero(ops[1:] != ops[:-1]) + 1
+        for seg in np.split(np.arange(len(ops)), change):
+            seg_keys = keys.take(pa.array(seg))
+            seg_ids = ids[seg]
+            if ops[seg[0]] == "remove":
+                sb.remove(seg_keys, seg_ids)
+            else:
+                sb.add(seg_keys, seg_ids)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         order = pa.compute.sort_indices(group.column(self.seq_col))
         group = group.take(order)
-        keys = group.column(self.key_col)
         ids = group.column(self.seq_col).to_numpy()
-        sb = ScalingBloom(self.policy)
-        if self.op_col is None:
-            sb.add(keys, ids)
-        else:
-            ops = np.asarray(group.column(self.op_col).to_pylist())
-            # contiguous runs of the same op keep relative seq order
-            change = np.flatnonzero(ops[1:] != ops[:-1]) + 1
-            for seg in np.split(np.arange(len(ops)), change):
-                seg_keys = keys.take(pa.array(seg))
-                seg_ids = ids[seg]
-                if ops[seg[0]] == "remove":
-                    sb.remove(seg_keys, seg_ids)
-                else:
-                    sb.add(seg_keys, seg_ids)
         pid = int(group.column(self.part_col)[0].as_py()) if len(group) else 0
+        sb = self._initial(pid)
+        step = self.fragment_every if (self.frag_dir and
+                                       self.fragment_every) else len(group)
+        for s in range(0, len(group), max(1, step)):
+            e = min(s + max(1, step), len(group))
+            self._apply(sb, group.slice(s, e - s), ids[s:e])
+            if self.frag_dir and e < len(group):
+                from ..checkpoint import write_fragment
+
+                write_fragment(self.frag_dir, sketch_to_row(sb, part_id=pid),
+                               last_seq=int(ids[e - 1]))
         return rows_to_table([sketch_to_row(sb, part_id=pid)])
 
 

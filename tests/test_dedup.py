@@ -180,3 +180,18 @@ def test_degenerate_bucket_star_linked(ray_session):
                                  num_perm=64, bands=16)
     ids = sorted(r["doc_id"] for r in kept.take_all())
     assert ids == [0]
+
+
+def test_simhash_vectorized_parity():
+    """Vectorized simhash64 == per-doc reference, incl. empty docs,
+    single-word docs, and batch-position invariance."""
+    from dabloomray.pipelines.dedup import _simhash64_rowwise
+
+    docs = list(corpus().values()) + ["", "one", "one two three", "",
+                                      "a b " * 500]
+    a = simhash64(docs)
+    b = _simhash64_rowwise(docs)
+    assert np.array_equal(a, b)
+    # batch-split invariance
+    c = np.concatenate([simhash64(docs[:3]), simhash64(docs[3:])])
+    assert np.array_equal(a, c)

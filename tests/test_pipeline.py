@@ -218,6 +218,15 @@ def test_dedup_mask_mode_equals_rows_mode(urls_ds):
     join = collect(dedup_approx(ds, "url", "seq_id", payload="join", **pol))
     assert sorted(join.column("seq_id").to_pylist()) == \
         sorted(rows.column("seq_id").to_pylist())
+    # auto mode: below the default mask_limit → same rows as mask
+    auto = collect(dedup_approx(ds, "url", "seq_id", payload="auto", **pol))
+    assert sorted(auto.column("seq_id").to_pylist()) == \
+        sorted(rows.column("seq_id").to_pylist())
+    # auto with a tiny mask_limit must fall back to join — same rows
+    auto_j = collect(dedup_approx(ds, "url", "seq_id", payload="auto",
+                                  mask_limit=10, **pol))
+    assert sorted(auto_j.column("seq_id").to_pylist()) == \
+        sorted(rows.column("seq_id").to_pylist())
 
 
 def test_dedup_exact_matches_distinct(urls_ds):
