@@ -81,6 +81,42 @@ def build_sketch_hashed(
                                                 batch_format="pyarrow")
 
 
+def build_sketch_salted(
+    ds,
+    key_col: str,
+    sketch_factory: Callable[[], object],
+    num_partitions: int = 16,
+    num_salts: int = 8,
+    batch_size: int | None = 65_536,
+):
+    """Hot-key-safe variant of :func:`build_sketch_hashed` (SURVEY.md
+    §4.4 applied to sketch UDAFs, not just counts): phase 1 builds one
+    partial sketch per (part_id, salt) — a skewed partition's rows
+    spread across ``num_salts`` reducers instead of landing on one
+    straggler — phase 2 tree-merges the S sketch rows per partition
+    (tiny).  Exact: saturating-add / max / sum merges equal the
+    sequential build (min(15, clip(a)+clip(b)) == min(15, a+b)), so
+    the result is byte-identical to the unsalted hashed build
+    (tests/test_skew.py)."""
+    hashed = ds.map_batches(hash_project(key_col, num_partitions),
+                            batch_format="pyarrow", batch_size=batch_size)
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        h2 = batch.column("h2").to_numpy().view(np.uint64)
+        return batch.append_column(
+            "_salt", pa.array((h2 % np.uint64(num_salts)).astype(np.int32)))
+
+    salted = hashed.map_batches(add_salt, batch_format="pyarrow")
+    builder = HashedGroupBuild(sketch_factory)
+
+    def build_group(group: pa.Table) -> pa.Table:
+        return builder(group)
+
+    partials = salted.groupby(["part_id", "_salt"]).map_groups(
+        build_group, batch_format="pyarrow")
+    return merge_sketch_dataset(partials)
+
+
 def build_sketch_grouped(
     ds,
     key_col: str,

@@ -5,7 +5,11 @@ Reference semantics (src/dablooms.c):
   - ``counting_bloom_remove`` ≈L350: k decrements, floor at 0
   - ``counting_bloom_check`` ≈L370: all k counters non-zero => present
   - ``bitmap_increment`` ≈L95: 4-bit nibble saturates at 0xF (overflow is
-    a logged no-op); two counters per byte on disk.
+    a logged no-op that returns -1); two counters per byte on disk.
+    We keep the no-op semantics and COUNT the events instead of
+    logging each: ``overflows`` / ``underflows`` record how many
+    increments/decrements were lost to saturation/floor (surfaced via
+    ``metrics``, serialized with the sketch, summed on merge).
 
 Our in-memory representation is an *unpacked* ``uint8`` array clipped to
 15 (vectorized batch math), packed to nibbles only on serialization —
@@ -41,10 +45,12 @@ def counting_bloom_factory(capacity: int, error_rate: float):
 class CountingBloom:
     """One partitioned counting bloom (reference counting_bloom_t)."""
 
-    __slots__ = ("params", "counters", "count", "first_id")
+    __slots__ = ("params", "counters", "count", "first_id",
+                 "overflows", "underflows")
 
     def __init__(self, params: BloomParams, first_id: int = 0,
-                 counters: np.ndarray | None = None, count: int = 0):
+                 counters: np.ndarray | None = None, count: int = 0,
+                 overflows: int = 0, underflows: int = 0):
         self.params = params
         self.counters = (
             counters if counters is not None
@@ -52,6 +58,12 @@ class CountingBloom:
         )
         self.count = count  # header->count: number of inserts
         self.first_id = first_id  # header->id: first seq id this filter covers
+        self.overflows = overflows  # lost increments (bitmap_increment ≈L95)
+        self.underflows = underflows  # lost decrements (floor at 0)
+
+    @property
+    def metrics(self) -> dict:
+        return {"overflows": self.overflows, "underflows": self.underflows}
 
     # -- hashing -----------------------------------------------------------
     def _indices(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
@@ -70,16 +82,21 @@ class CountingBloom:
     def add_hashed(self, h1: np.ndarray, h2: np.ndarray) -> None:
         idx = self._indices(h1, h2).ravel()
         delta = np.bincount(idx, minlength=self.params.size)
+        wide = self.counters.astype(np.int64) + delta
+        # lost increments == overflow no-ops of a sequential 4-bit run
+        self.overflows += int(np.maximum(wide - _MAX_COUNT, 0).sum())
         # saturating add == sequential 4-bit increments with overflow no-op
-        np.minimum(self.counters + delta, _MAX_COUNT, out=self.counters,
-                   casting="unsafe")
+        np.minimum(wide, _MAX_COUNT, out=wide)
+        self.counters = wide.astype(np.uint8)
         self.count += len(h1)
 
     def remove_hashed(self, h1: np.ndarray, h2: np.ndarray) -> None:
         idx = self._indices(h1, h2).ravel()
         delta = np.bincount(idx, minlength=self.params.size)
         wide = self.counters.astype(np.int64) - delta
-        np.maximum(wide, 0, out=wide)  # underflow is a logged no-op upstream
+        # lost decrements == underflow no-ops (reference logs + returns -1)
+        self.underflows += int(np.maximum(-wide, 0).sum())
+        np.maximum(wide, 0, out=wide)
         self.counters = wide.astype(np.uint8)
         self.count = max(0, self.count - len(h1))
 
@@ -100,14 +117,16 @@ class CountingBloom:
     def merge(self, other: "CountingBloom") -> "CountingBloom":
         if other.params != self.params:
             raise ValueError("cannot merge blooms with different geometry")
-        merged = np.minimum(
-            self.counters.astype(np.int64) + other.counters, _MAX_COUNT
-        ).astype(np.uint8)
+        wide = self.counters.astype(np.int64) + other.counters
+        merge_lost = int(np.maximum(wide - _MAX_COUNT, 0).sum())
+        merged = np.minimum(wide, _MAX_COUNT).astype(np.uint8)
         return CountingBloom(
             self.params,
             first_id=min(self.first_id, other.first_id),
             counters=merged,
             count=self.count + other.count,
+            overflows=self.overflows + other.overflows + merge_lost,
+            underflows=self.underflows + other.underflows,
         )
 
     # -- serde: packed nibbles, reference bitmap layout --------------------
@@ -122,13 +141,19 @@ class CountingBloom:
     def to_state(self):
         params = self.params.to_dict()
         params["first_id"] = self.first_id
+        if self.overflows or self.underflows:
+            params["overflows"] = self.overflows
+            params["underflows"] = self.underflows
         return params, self.pack(), self.count, self.count
 
     @classmethod
     def from_state(cls, params, state, count, seq):
         p = BloomParams.from_dict(params)
-        return cls.unpack(p, state, first_id=int(params.get("first_id", 0)),
-                          count=count)
+        sk = cls.unpack(p, state, first_id=int(params.get("first_id", 0)),
+                        count=count)
+        sk.overflows = int(params.get("overflows", 0))
+        sk.underflows = int(params.get("underflows", 0))
+        return sk
 
     @classmethod
     def unpack(cls, params: BloomParams, data: bytes, first_id: int = 0,

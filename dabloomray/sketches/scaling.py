@@ -63,6 +63,16 @@ class ScalingBloom:
     def count_total(self) -> int:
         return sum(b.count for b in self.blooms)
 
+    @property
+    def metrics(self) -> dict:
+        """Aggregated overflow/underflow no-op counts over the chain
+        (reference ``bitmap_increment`` ≈L95 logs each event; we count
+        them — parity metric, SURVEY.md §2.4)."""
+        return {
+            "overflows": sum(b.overflows for b in self.blooms),
+            "underflows": sum(b.underflows for b in self.blooms),
+        }
+
     # -- add (scaling_bloom_add ≈L555) -------------------------------------
     def add(self, keys, ids) -> None:
         """Vectorized batch add. ``ids`` must be monotonically

@@ -122,3 +122,42 @@ def test_merge_geometry_mismatch_raises():
     b = CountingBloom(BloomParams(200, 0.05))
     with pytest.raises(ValueError):
         a.merge(b)
+
+
+def test_overflow_underflow_counters():
+    """Reference bitmap_increment ≈L95 logs '4 bit int Overflow' and
+    returns -1 (no-op); we keep the no-op and COUNT the events —
+    batch counts equal a sequential saturating run's no-op count, the
+    counters survive serde, and merges sum them."""
+    from dabloomray.params import BloomParams
+    from dabloomray.serde import sketch_from_row, sketch_to_row
+    from dabloomray.sketches.counting import CountingBloom
+
+    p = BloomParams(1000, 0.05)
+    cb = CountingBloom(p)
+    key = ["same-key"] * 40  # k counters driven past 15
+    cb.add(key)
+    k = p.nfuncs
+    assert cb.metrics["overflows"] == (40 - 15) * k
+    assert cb.metrics["underflows"] == 0
+    # removing 40 brings each counter 15→0 with 25 lost decrements each
+    cb.remove(key)
+    assert cb.metrics["underflows"] == (40 - 15) * k
+    # removing an absent key floors at 0 → k more underflows
+    cb.remove(["never-added"])
+    assert cb.metrics["underflows"] == (40 - 15) * k + k
+
+    # batch == sequential event counts
+    seq = CountingBloom(p)
+    for w in key:
+        seq.add([w])
+    assert seq.metrics["overflows"] == cb.metrics["overflows"]
+
+    # serde roundtrip keeps the metric; merge sums + counts merge loss
+    back = sketch_from_row(sketch_to_row(cb))
+    assert back.metrics == cb.metrics
+    a, b = CountingBloom(p), CountingBloom(p)
+    a.add(["x"] * 10)
+    b.add(["x"] * 10)
+    merged = a.merge(b)  # 20 per counter → 5 lost in the merge itself
+    assert merged.metrics["overflows"] == 5 * k

@@ -80,3 +80,41 @@ def test_normalize_url(url, want):
     t = pa.table({"url": pa.array([url], pa.string())})
     got = normalize_url(t).column("url_norm")[0].as_py()
     assert got == want
+
+
+def test_salted_sketch_build_equals_hashed(ray_session):
+    """build_sketch_salted (two-phase, hot-key-safe) == build_sketch
+    _hashed, counter for counter, on a corpus where one key carries
+    30% of all rows (the straggler scenario)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dabloomray.pipelines.core import (
+        build_sketch_hashed,
+        build_sketch_salted,
+    )
+    from dabloomray.serde import table_to_sketches
+    from dabloomray.sketches.counting import counting_bloom_factory
+    from dabloomray.sketches.hll import hll_factory
+
+    keys = [f"key-{i}" for i in range(7000)] + ["hot-key"] * 3000
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(4)
+
+    def collect(d):
+        return pa.concat_tables(list(
+            d.iter_batches(batch_size=None, batch_format="pyarrow")))
+
+    for fac in (counting_bloom_factory(4000, 0.05), hll_factory(12)):
+        a = table_to_sketches(collect(
+            build_sketch_hashed(ds, "k", fac, num_partitions=4)))
+        b = table_to_sketches(collect(
+            build_sketch_salted(ds, "k", fac, num_partitions=4,
+                                num_salts=5)))
+        assert set(a) == set(b)
+        for pid in a:
+            if hasattr(a[pid], "counters"):
+                assert np.array_equal(a[pid].counters, b[pid].counters)
+                assert a[pid].count == b[pid].count
+            else:  # HLL registers
+                assert np.array_equal(a[pid].registers, b[pid].registers)
