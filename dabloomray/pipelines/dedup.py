@@ -374,16 +374,102 @@ def pairs_to_groups(pairs: pa.Table) -> dict[int, int]:
     return {doc: find(doc) for doc in list(parent)}
 
 
+def minlabel_components(pairs_ds, max_rounds: int = 20):
+    """Connected components over an edge Dataset (left_id, right_id)
+    by min-label propagation — the DISTRIBUTED alternative to
+    driver-side union-find: every node's label converges to the
+    smallest id in its component within diameter rounds (near-dup
+    clusters are shallow; star-linked capped buckets have diameter 2).
+
+    Each round: every edge sends each endpoint the other endpoint's
+    label (two hash joins), then labels = grouped min over messages +
+    current label.  Convergence is detected by the label-sum (strictly
+    decreasing while any label changes).  Everything stays
+    distributed; volumes are bounded by the verified pair count.
+    Returns a Dataset of (node, label), label == component min id."""
+    from ray.data.aggregate import Min
+
+    edges = drop_empty_blocks(pairs_ds.select_columns(
+        ["left_id", "right_id"]).materialize())
+    if edges is None:
+        return None
+
+    def flat_nodes(batch: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([
+            batch.column("left_id").cast(pa.int64()).combine_chunks(),
+            batch.column("right_id").cast(pa.int64()).combine_chunks()])
+        return pa.table({"node": both, "label": both})
+
+    def first_row(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    labels = (edges.map_batches(flat_nodes, batch_format="pyarrow")
+              .groupby("node").map_groups(first_row,
+                                          batch_format="pyarrow"))
+    labels = drop_empty_blocks(labels.materialize())
+    prev_sum = None
+    for rnd in range(max_rounds):
+        msgs = []
+        for src, dst in (("left_id", "right_id"), ("right_id", "left_id")):
+            j = edges.join(
+                labels.map_batches(
+                    lambda t, s=src: t.rename_columns(["_n", "_l"]),
+                    batch_format="pyarrow"),
+                join_type="inner", num_partitions=4,
+                on=(src,), right_on=("_n",))
+            msgs.append(drop_empty_blocks(j.materialize()).map_batches(
+                lambda t, d=dst: pa.table({
+                    "node": t.column(d).cast(pa.int64()),
+                    "label": t.column("_l").cast(pa.int64())}),
+                batch_format="pyarrow"))
+        cand = labels
+        for m in msgs:
+            cand = cand.union(m)
+        labels = drop_empty_blocks(
+            cand.groupby("node").aggregate(
+                Min("label", alias_name="label")).materialize())
+        new_sum = labels.sum("label")
+        if new_sum == prev_sum:  # monotone ⇒ fixpoint reached
+            break
+        prev_sum = new_sum
+    return labels
+
+
 def near_dedup_keep_first(ds, id_col: str, text_col: str,
-                          threshold: float = 0.8, **lsh_kwargs):
-    """Full near-dedup: MinHash-LSH pairs → groups → drop every group
-    member except the smallest doc_id.  Returns the surviving Dataset."""
+                          threshold: float = 0.8, method: str = "distributed",
+                          **lsh_kwargs):
+    """Full near-dedup: MinHash-LSH pairs → connected components →
+    drop every member except the smallest doc_id.  Returns the
+    surviving Dataset.
+
+    ``method="distributed"`` (default): min-label propagation — no
+    driver-side pair collection anywhere, the 100-TB path.
+    ``method="driver"``: collect verified pairs (orders of magnitude
+    smaller than the corpus) and union-find on the driver — fine while
+    the PAIR set is driver-sized; kept as the parity reference."""
     import ray
 
+    pairs_ds = minhash_lsh_dedup(ds, id_col, text_col, threshold=threshold,
+                                 **lsh_kwargs)
+    if method == "distributed":
+        labels = minlabel_components(pairs_ds)
+        if labels is None:  # no near-dup pairs at all
+            return ds
+        def non_roots(batch: pa.Table) -> pa.Table:
+            keep = pa.compute.not_equal(batch.column("label"),
+                                        batch.column("node"))
+            return batch.filter(keep).select(["node"])
+
+        drop_ds = labels.map_batches(non_roots, batch_format="pyarrow")
+        drop_ds = drop_empty_blocks(drop_ds.materialize())
+        if drop_ds is None:
+            return ds
+        # left_anti: corpus rows whose id matches a dropped node vanish
+        return ds.join(drop_ds, join_type="left_anti", num_partitions=4,
+                       on=(id_col,), right_on=("node",))
+
     pairs = pa.concat_tables(list(
-        minhash_lsh_dedup(ds, id_col, text_col, threshold=threshold,
-                          **lsh_kwargs)
-        .iter_batches(batch_size=None, batch_format="pyarrow")))
+        pairs_ds.iter_batches(batch_size=None, batch_format="pyarrow")))
     groups = pairs_to_groups(pairs)
     drop = np.sort(np.array(
         [doc for doc, root in groups.items() if doc != root],

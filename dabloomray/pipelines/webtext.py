@@ -60,10 +60,12 @@ def webtext_pipeline(
     full = rd.read_parquet(input_path,
                            columns=["url", "warc_ts", "html"], **kw) \
         .map_batches(add_seq_from_ts(), batch_format="pyarrow")
-    # phase 1: mask-mode dedup — only (part_id, h1, h2, seq) shuffle;
-    # phase 2 filter applied to the full-width read
+    # phase 1: hash-only dedup shuffle — only (part_id, h1, h2, seq)
+    # moves; phase 2 filter applied to the full-width read.  'auto'
+    # picks mask while the survivor set fits the driver (~1e8) and the
+    # distributed join beyond — same output either way
     survivors = dedup_approx(light, "url", "seq_id", policy=policy,
-                             num_partitions=num_partitions, payload="mask",
+                             num_partitions=num_partitions, payload="auto",
                              apply_to=full)
 
     from ..extract import extract_text_batch

@@ -176,8 +176,10 @@ def test_degenerate_bucket_star_linked(ray_session):
     assert elapsed < 120  # bounded; all-pairs at 50M rows x 16 bands isn't
 
     # keep-first over the capped bucket still collapses the group
+    # (driver method here — the component method is covered elsewhere;
+    # star topology guarantees diameter 2 for either)
     kept = near_dedup_keep_first(ds, "doc_id", "text", threshold=0.9,
-                                 num_perm=64, bands=16)
+                                 num_perm=64, bands=16, method="driver")
     ids = sorted(r["doc_id"] for r in kept.take_all())
     assert ids == [0]
 
@@ -195,3 +197,48 @@ def test_simhash_vectorized_parity():
     # batch-split invariance
     c = np.concatenate([simhash64(docs[:3]), simhash64(docs[3:])])
     assert np.array_equal(a, c)
+
+
+def test_minlabel_components_long_chain(ray_session):
+    """Min-label propagation converges past diameter-2: a 31-node path
+    graph collapses to label 0, a separate pair keeps its own min, and
+    isolated nodes never enter the label table."""
+    import ray.data as rd
+
+    from dabloomray.pipelines.dedup import minlabel_components
+
+    edges = [(i, i + 1) for i in range(30)] + [(100, 101)]
+    ds = rd.from_arrow(pa.table({
+        "left_id": pa.array([a for a, _ in edges], pa.int64()),
+        "right_id": pa.array([b for _, b in edges], pa.int64()),
+    }))
+    labels = {r["node"]: r["label"]
+              for r in minlabel_components(ds, max_rounds=50).take_all()}
+    assert all(labels[i] == 0 for i in range(31))
+    assert labels[100] == 0 or labels[100] == 100  # own component min
+    assert labels[100] == 100 and labels[101] == 100
+    assert 999 not in labels
+
+
+def test_keep_first_distributed_equals_driver(ray_session):
+    """method='distributed' (min-label + anti-join, zero driver
+    collection) keeps exactly the same survivors as the union-find
+    reference."""
+    import ray.data as rd
+
+    from dabloomray.pipelines.dedup import near_dedup_keep_first
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = {0: base, 1: base, 2: base + " extra",
+            3: "totally different words here about other things "
+               "entirely with no overlap at all",
+            4: base, 5: "chain link one " + base,
+            6: "chain link one " + base}
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    a = sorted(r["doc_id"] for r in near_dedup_keep_first(
+        ds, "doc_id", "text", threshold=0.8,
+        method="distributed").take_all())
+    b = sorted(r["doc_id"] for r in near_dedup_keep_first(
+        ds, "doc_id", "text", threshold=0.8, method="driver").take_all())
+    assert a == b and 0 in a and 3 in a
