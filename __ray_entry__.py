@@ -554,6 +554,61 @@ def _q_customers_by_region(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _typed_user_table(ds) -> pa.Table:
+    schema = pa.schema([("user_id", pa.int64())])
+    tabs = [pa.table({"user_id": pa.array([], pa.int64())}, schema=schema)]
+    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_columns:
+            tabs.append(b.select(["user_id"]).cast(schema))
+    return pa.concat_tables(tabs)
+
+
+def _set_op_sides(sf_dir: str):
+    """Distinct users with a big (>150) purchase / error — the two
+    sides of the set-op queries (non-trivial sets: every user has
+    every event type, so the thresholds make membership selective)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type",
+                                          "value"])
+
+    def only(evtype):
+        def fn(t: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.equal(t.column("event_type"), evtype),
+                           pc.greater(t.column("value"), 150.0))
+            return t.filter(keep).select(["user_id"])
+        return fn
+
+    def first_row(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    purch = ev.map_batches(only("purchase"), batch_format="pyarrow") \
+        .groupby("user_id").map_groups(first_row, batch_format="pyarrow")
+    err = ev.map_batches(only("error"), batch_format="pyarrow") \
+        .map_batches(lambda t: t.rename_columns(["_eu"]),
+                     batch_format="pyarrow")
+    return purch, err
+
+
+def _q_big_purchasers_without_big_error(sf_dir: str):
+    """Set EXCEPT as a distributed anti-join (Dataset.join left_anti —
+    the set-ops row of SURVEY §2.6 alongside dedup/distinct): users
+    with a >150 purchase and NO >150 error."""
+    purch, err = _set_op_sides(sf_dir)
+    out = purch.join(err, join_type="left_anti", num_partitions=8,
+                     on=("user_id",), right_on=("_eu",))
+    # an all-empty result loses its schema (Ray empty-block wart);
+    # re-type it — the distinct-user result is driver-sized by contract
+    return _typed_user_table(out)
+
+
+def _q_big_purchasers_with_big_error(sf_dir: str):
+    """Set INTERSECT as a distributed semi-join (left_semi): users
+    with BOTH a >150 purchase and a >150 error."""
+    purch, err = _set_op_sides(sf_dir)
+    out = purch.join(err, join_type="left_semi", num_partitions=8,
+                     on=("user_id",), right_on=("_eu",))
+    return _typed_user_table(out)
+
+
 def _q_docs_hash_sample(sf_dir: str):
     """Deterministic hash-Bernoulli sample (SURVEY.md §2.6 sampling):
     keep docs with murmur64(text) below 20% of the hash space —
@@ -598,6 +653,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_by_nation": _q_supplier_by_nation,
         "customers_by_region": _q_customers_by_region,
         "docs_hash_sample": _q_docs_hash_sample,
+        "big_purchasers_without_big_error": _q_big_purchasers_without_big_error,
+        "big_purchasers_with_big_error": _q_big_purchasers_with_big_error,
     }
 
 
@@ -704,6 +761,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r_name, COUNT(*) AS n_customers FROM customer "
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "big_purchasers_without_big_error": (
+            "SELECT DISTINCT user_id FROM events "
+            "WHERE event_type = 'purchase' AND value > 150 AND "
+            "user_id NOT IN (SELECT user_id FROM events "
+            "WHERE event_type = 'error' AND value > 150)"
+        ),
+        "big_purchasers_with_big_error": (
+            "SELECT DISTINCT user_id FROM events "
+            "WHERE event_type = 'purchase' AND value > 150 AND "
+            "user_id IN (SELECT user_id FROM events "
+            "WHERE event_type = 'error' AND value > 150)"
         ),
         # value_quantiles_tdigest / nchars_quantiles_kll /
         # minhash_dedup_pairs / simhash_dedup_pairs / lang_id_counts:
