@@ -202,6 +202,31 @@ def bench_queries(corpus_path: str):
         state["dedup_survivors_join"] = n
         return n
 
+    def q_scaling_dedup_rangemask():
+        """Dedup with payload='rangemask': survivors spill to seq-range
+        buckets, each target task loads only its overlapping buckets —
+        no driver mask, no target shuffle (the wide-row scale path for
+        seq-ordered input like this time-ordered corpus)."""
+        import shutil
+
+        spill = os.path.join(CORPUS_DIR, f"rangemask_{NUM_CPUS}")
+        shutil.rmtree(spill, ignore_errors=True)
+        ds = read_urls(["url", "warc_ts"])
+        ds = ds.map_batches(
+            lambda t: t.append_column(
+                "seq_id", pc.cast(t.column("warc_ts"), pa.int64())),
+            batch_format="pyarrow")
+        out = dedup_approx(ds, "url", "seq_id",
+                           ScalingPolicy(capacity0=50_000, target_error=0.05),
+                           num_partitions=P, payload="rangemask",
+                           spill_dir=spill, range_buckets=64)
+        n = 0
+        for b in out.select_columns(["url"]).iter_batches(
+                batch_size=None, batch_format="pyarrow"):
+            n += len(b)
+        state["dedup_survivors_rangemask"] = n
+        return n
+
     def q_hll_distinct():
         ds = read_urls(["url"])
         tab = pa.concat_tables(list(
@@ -250,6 +275,7 @@ def bench_queries(corpus_path: str):
         "bloom_check": q_bloom_check,
         "scaling_dedup": q_scaling_dedup,
         "scaling_dedup_join": q_scaling_dedup_join,
+        "scaling_dedup_rangemask": q_scaling_dedup_rangemask,
         "hll_distinct": q_hll_distinct,
         "text_stats": q_text_stats,
     }, state

@@ -244,3 +244,41 @@ def test_dedup_exact_matches_distinct(urls_ds):
     got_ts = dict(zip(out.column("url").to_pylist(),
                       out.column("warc_ts").to_pylist()))
     assert got_ts == first_ts
+
+
+def test_dedup_rangemask_equals_rows_mode(urls_ds, tmp_path):
+    """payload='rangemask' (seq-range-bucketed spilled survivor sets,
+    no target shuffle, no driver mask) keeps exactly the same rows as
+    payload='rows'."""
+    urls, ds = urls_ds
+    pol = dict(policy=ScalingPolicy(capacity0=1000, target_error=0.05),
+               num_partitions=4)
+    rows = collect(dedup_approx(ds, "url", "seq_id", **pol))
+    rm = collect(dedup_approx(ds, "url", "seq_id", payload="rangemask",
+                              spill_dir=str(tmp_path / "spill"),
+                              range_buckets=8, **pol))
+    assert sorted(rm.column("seq_id").to_pylist()) == \
+        sorted(rows.column("seq_id").to_pylist())
+    assert set(rm.column_names) == set(ds.schema().names)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup_approx(ds, "url", "seq_id", payload="rangemask", **pol)
+
+
+def test_dedup_auto_prefers_rangemask_with_spill(urls_ds, tmp_path):
+    """auto over the driver limit: rangemask when spill_dir is given
+    (measured ~1.1x mask vs ~3x for join), join otherwise — outputs
+    identical either way."""
+    urls, ds = urls_ds
+    pol = dict(policy=ScalingPolicy(capacity0=1000, target_error=0.05),
+               num_partitions=4)
+    rows = collect(dedup_approx(ds, "url", "seq_id", **pol))
+    out = collect(dedup_approx(ds, "url", "seq_id", payload="auto",
+                               mask_limit=10,
+                               spill_dir=str(tmp_path / "sp"), **pol))
+    assert sorted(out.column("seq_id").to_pylist()) == \
+        sorted(rows.column("seq_id").to_pylist())
+    # the spill actually happened (rangemask, not join)
+    import glob
+    assert glob.glob(str(tmp_path / "sp" / "bucket=*.parquet"))

@@ -129,9 +129,14 @@ def test_quantile_rank_error(cls):
     s = np.sort(vals)
     for q in (0.01, 0.25, 0.5, 0.9, 0.99):
         est = sk.quantile(q)
-        # rank of the estimate must be within 1% of q
+        # published-bound comparison (ROADMAP r1 #6): KLL k=200 has
+        # eps ~ 2.3/k ≈ 1.15%; t-digest delta=200 is ~0.1% at the
+        # median and tighter at the tails.  Measured on this stream:
+        # t-digest ≤ 0.03%, KLL ≤ 0.7% — assert the measured class,
+        # not just the loose published one.
         rank = np.searchsorted(s, est) / len(s)
-        assert abs(rank - q) < 0.01, (q, est, rank)
+        bound = 0.002 if isinstance(sk, TDigest) else 0.009
+        assert abs(rank - q) < bound, (q, est, rank)
 
 
 @pytest.mark.parametrize("cls", [lambda: TDigest(200), lambda: KLL(200)])
@@ -150,7 +155,9 @@ def test_quantile_merge_within_bound(cls):
     s = np.sort(vals)
     for q in (0.1, 0.5, 0.95):
         rank = np.searchsorted(s, merged.quantile(q)) / len(s)
-        assert abs(rank - q) < 0.02
+        # merge must not degrade past the single-sketch class
+        bound = 0.004 if isinstance(merged, TDigest) else 0.012
+        assert abs(rank - q) < bound, (q, rank)
 
 
 @pytest.mark.parametrize("cls", [lambda: TDigest(100), lambda: KLL(150)])
