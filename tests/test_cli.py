@@ -28,3 +28,32 @@ def test_missing_required_arg_fails():
     out = run_cli("check", "/tmp/x")
     assert out.returncode != 0
     assert "--ckpt-dir" in out.stderr
+
+
+def test_build_then_check_no_false_negatives(tmp_path):
+    """End-to-end CLI regression for the ADVICE r1 partition-count bug:
+    build with far more partitions than keys (high partitions empty),
+    then check — the manifest's num_partitions must route every key to
+    the right bloom (zero false negatives)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    inp = str(tmp_path / "keys.parquet")
+    keys = [f"key-{i}" for i in range(12)]
+    pq.write_table(pa.table({
+        "url": pa.array(keys, pa.string()),
+        "warc_ts": pa.array(range(12), pa.int64()),
+    }), inp)
+    ckpt = str(tmp_path / "ckpt")
+    out = run_cli("build", inp, "--key", "url", "--seq", "warc_ts",
+                  "--capacity", "1000", "--partitions", "64",
+                  "--ckpt-dir", ckpt)
+    assert out.returncode == 0, out.stderr
+    res = str(tmp_path / "verdicts")
+    out = run_cli("check", inp, "--key", "url", "--ckpt-dir", ckpt,
+                  "--output", res)
+    assert out.returncode == 0, out.stderr
+    got = pq.read_table(res)
+    verdicts = dict(zip(got.column("url").to_pylist(),
+                        got.column("member").to_pylist()))
+    assert all(verdicts[k] for k in keys), verdicts
