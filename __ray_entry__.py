@@ -609,6 +609,19 @@ def _q_big_purchasers_with_big_error(sf_dir: str):
     return _typed_user_table(out)
 
 
+def _q_docs_shingle_fingerprint(sf_dir: str):
+    """Min-shingle (Karp-Rabin rolling hash) document fingerprints —
+    the 1-perm minhash similarity fingerprint, vectorized via
+    byte-pair polynomial tables (rows-only: no SQL equivalent; parity
+    with the scalar reference asserted in tests/test_text.py)."""
+    from dabloomray.stages.text import RollingFingerprint
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(RollingFingerprint, batch_format="pyarrow",
+                           concurrency=(1, 4))
+    return out.select_columns(["doc_id", "shingle_min"])
+
+
 def _q_docs_hash_sample(sf_dir: str):
     """Deterministic hash-Bernoulli sample (SURVEY.md §2.6 sampling):
     keep docs with murmur64(text) below 20% of the hash space —
@@ -653,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_by_nation": _q_supplier_by_nation,
         "customers_by_region": _q_customers_by_region,
         "docs_hash_sample": _q_docs_hash_sample,
+        "docs_shingle_fingerprint": _q_docs_shingle_fingerprint,
         "big_purchasers_without_big_error": _q_big_purchasers_without_big_error,
         "big_purchasers_with_big_error": _q_big_purchasers_with_big_error,
     }

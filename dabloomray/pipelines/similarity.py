@@ -63,16 +63,13 @@ class _CosinePairs:
         bids = batch.column(self.id_col).to_numpy()
         bm = _normalize(_to_matrix(batch.column(self.vec_col)))
         sims = bm @ self.matrix.T  # (batch, N)
-        li, ri, sv = [], [], []
-        for i, bid in enumerate(bids):
-            m = (sims[i] >= self.threshold) & (self.ids > bid)
-            li.append(np.full(int(m.sum()), bid, dtype=np.int64))
-            ri.append(self.ids[m].astype(np.int64))
-            sv.append(sims[i][m])
+        # row-major nonzero == the per-row emit order
+        m = (sims >= self.threshold) & (self.ids[None, :] > bids[:, None])
+        r, c = np.nonzero(m)
         return pa.table({
-            "left_id": pa.array(np.concatenate(li), pa.int64()),
-            "right_id": pa.array(np.concatenate(ri), pa.int64()),
-            "cos_sim": pa.array(np.round(np.concatenate(sv), 6), pa.float64()),
+            "left_id": pa.array(bids[r].astype(np.int64), pa.int64()),
+            "right_id": pa.array(self.ids[c].astype(np.int64), pa.int64()),
+            "cos_sim": pa.array(np.round(sims[r, c], 6), pa.float64()),
         })
 
 

