@@ -39,7 +39,9 @@ def token_count_whitespace(batch: pa.Table, text_col: str = "text",
         if hi == lo:
             counts = np.zeros(n, dtype=np.int64)
         else:
-            m = ~_ASCII_SPACE[data[lo:hi]]
+            # tokens = runs of RE2 \S (the Arrow kernel's class; \v and
+            # \x1c-\x1f are NON-space there, unlike Python str-mode \s)
+            m = ~_RE2_SPACE[data[lo:hi]]
             prev = np.empty_like(m)
             prev[0] = False
             prev[1:] = m[:-1]
@@ -96,7 +98,14 @@ _ASCII_WORDCHAR[ord("_")] = True
 _ASCII_SPACE = np.zeros(256, dtype=bool)
 for _c in b" \t\n\r\f\v":
     _ASCII_SPACE[_c] = True
-_ASCII_PUNCT = ~(_ASCII_WORDCHAR | _ASCII_SPACE)
+# punct mirrors the Arrow kernel's [^\w\s]: RE2's \s is ONLY
+# [ \t\n\f\r] — \v and \x1c-\x1f count as punctuation there (caught by
+# a hypothesis parity test; Python's broader str-mode \s applies to
+# token counting, not to this class)
+_RE2_SPACE = np.zeros(256, dtype=bool)
+for _c in b" \t\n\f\r":
+    _RE2_SPACE[_c] = True
+_ASCII_PUNCT = ~(_ASCII_WORDCHAR | _RE2_SPACE)
 _ASCII_PUNCT[128:] = False  # only defined for ascii bytes
 # single classification table: 1 = letter, 2 = punct ([^\w\s]), 0 = rest
 _ASCII_CODE = np.zeros(256, dtype=np.uint8)

@@ -146,3 +146,85 @@ def test_cms_never_undercounts(keys):
     est = c.estimate(distinct)
     for k, e in zip(distinct, est):
         assert e >= true[k]
+
+
+# -- round-2 fast-path parity properties ------------------------------------
+
+_html_frag = st.sampled_from([
+    "<title>", "</title>", "<body>", "</body>", "<TITLE >", "</BODY>",
+    "<body class='x'>", "<p>", "</p>", "<>", "word", " ", "\t", "\n",
+    ">", "<", "<bodyxyz>", "\x1c", "\x0b", "text here", "<body><body>",
+    "</body></body>", "<title></title>", "9!.",
+])
+
+
+@settings(max_examples=40, deadline=None)
+@given(rows=st.lists(st.lists(_html_frag, min_size=0, max_size=10),
+                     min_size=1, max_size=20))
+def test_extract_batch_equals_scalar(rows):
+    """Byte-level extraction fast path == scalar reference on
+    arbitrary tag soup (incl. control chars and malformed nesting)."""
+    import pyarrow as pa
+
+    from dabloomray.extract import extract_text, extract_text_batch
+
+    cases = ["".join(r).encode() for r in rows]
+    tab = pa.table({"html": pa.array(cases, pa.binary())})
+    got = extract_text_batch(tab).column("text").to_pylist()
+    assert got == [extract_text(c) for c in cases]
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts=st.lists(
+    st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=126),
+            min_size=0, max_size=60),
+    min_size=1, max_size=30))
+def test_quality_and_tokens_ascii_path_equals_arrow(texts):
+    """ASCII byte-table QualityScore/token-count == the Arrow regex
+    path, column for column."""
+    import pyarrow as pa
+
+    import dabloomray.stages.text as T
+
+    tab = pa.table({"text": pa.array(texts, pa.string())})
+    qs = T.QualityScore()
+    fast = qs(tab)
+    real_all = T.pc.all
+    T.pc.all = lambda *a, **k: pa.scalar(False)  # force the Arrow path
+    try:
+        slow = T.QualityScore()(tab)
+        tok_slow = T.token_count_whitespace(tab)
+    finally:
+        T.pc.all = real_all
+    for col in ("q_chars", "q_mean_word_len", "q_punct_ratio",
+                "q_stop_ratio", "q_score"):
+        assert np.allclose(fast.column(col).to_numpy(),
+                           slow.column(col).to_numpy()), col
+    tok_fast = T.token_count_whitespace(tab)
+    assert tok_fast.column("n_tokens").to_pylist() == \
+        tok_slow.column("n_tokens").to_pylist()
+
+
+@settings(max_examples=30, deadline=None)
+@given(texts=st.lists(st.text(min_size=0, max_size=80),
+                      min_size=1, max_size=20))
+def test_rolling_fingerprint_equals_scalar(texts):
+    import pyarrow as pa
+
+    from dabloomray.stages.text import RollingFingerprint, rolling_shingle_min
+
+    tab = pa.table({"text": pa.array(texts, pa.string())})
+    got = RollingFingerprint(w=16)(tab).column("shingle_min") \
+        .to_numpy().view(np.uint64)
+    want = np.array([rolling_shingle_min(t, 16) for t in texts],
+                    dtype=np.uint64)
+    assert np.array_equal(got, want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(texts=st.lists(st.text(min_size=0, max_size=60),
+                      min_size=0, max_size=15))
+def test_simhash_vectorized_equals_rowwise(texts):
+    from dabloomray.pipelines.dedup import _simhash64_rowwise, simhash64
+
+    assert np.array_equal(simhash64(texts), _simhash64_rowwise(texts))
