@@ -62,11 +62,13 @@ def webtext_pipeline(
         .map_batches(add_seq_from_ts(), batch_format="pyarrow")
     # phase 1: hash-only dedup shuffle — only (part_id, h1, h2, seq)
     # moves; phase 2 filter applied to the full-width read.  'auto'
-    # picks mask while the survivor set fits the driver (~1e8) and the
-    # distributed join beyond — same output either way
+    # picks mask while the survivor set fits the driver (~1e8), then
+    # the range-bucketed spill mask (this corpus is warc_ts-ordered,
+    # rangemask's sweet spot) — same output either way
+    spill = os.path.join(out_dir, "_dedup_spill") if out_dir else None
     survivors = dedup_approx(light, "url", "seq_id", policy=policy,
                              num_partitions=num_partitions, payload="auto",
-                             apply_to=full)
+                             spill_dir=spill, apply_to=full)
 
     from ..extract import extract_text_batch
 
