@@ -517,6 +517,13 @@ def _rangemask_filter(target, survivors_ds, seq_col: str, spill_dir: str,
         b = np.searchsorted(boundaries, s, side="right").astype(np.int32)
         return batch.append_column("bucket", pa.array(b))
 
+    # start from an empty spill dir: a bucket with no survivors writes
+    # no file (missing file == empty range, by design), so a STALE
+    # file from a previous run with different boundaries would leak
+    # false survivors
+    import shutil
+
+    shutil.rmtree(spill_dir, ignore_errors=True)
     os.makedirs(spill_dir, exist_ok=True)
 
     def write_bucket(group: pa.Table) -> pa.Table:

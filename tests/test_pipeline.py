@@ -282,3 +282,26 @@ def test_dedup_auto_prefers_rangemask_with_spill(urls_ds, tmp_path):
     # the spill actually happened (rangemask, not join)
     import glob
     assert glob.glob(str(tmp_path / "sp" / "bucket=*.parquet"))
+
+
+def test_rangemask_spill_dir_reuse_is_safe(urls_ds, tmp_path):
+    """A reused spill_dir must not leak stale bucket files from a
+    previous run with different boundaries (missing file == empty
+    range, so stale files would resurrect false survivors)."""
+    import pyarrow.parquet as pq
+
+    urls, ds = urls_ds
+    pol = dict(policy=ScalingPolicy(capacity0=1000, target_error=0.05),
+               num_partitions=4)
+    spill = tmp_path / "spill"
+    spill.mkdir()
+    # poison: a stale bucket full of bogus survivor seqs
+    pq.write_table(pa.table({"seq": pa.array([1, 2, 3], pa.int64())}),
+                   str(spill / "bucket=999.parquet"))
+    rows = collect(dedup_approx(ds, "url", "seq_id", **pol))
+    rm = collect(dedup_approx(ds, "url", "seq_id", payload="rangemask",
+                              spill_dir=str(spill), range_buckets=8, **pol))
+    assert sorted(rm.column("seq_id").to_pylist()) == \
+        sorted(rows.column("seq_id").to_pylist())
+    import os
+    assert not os.path.exists(spill / "bucket=999.parquet")
