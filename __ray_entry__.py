@@ -609,6 +609,20 @@ def _q_big_purchasers_with_big_error(sf_dir: str):
     return _typed_user_table(out)
 
 
+def _q_near_dedup_threshold1(sf_dir: str):
+    """Keep-first near-dedup at threshold 1.0: the LSH candidate +
+    exact-Jaccard verify + min-label component pipeline degenerates to
+    exact dedup (identical shingle sets), giving the whole distributed
+    near-dup stack an EXACT DuckDB oracle — every stage (banding,
+    bucketed text joins, verification, component labels, anti-join)
+    must be right for this to hash-match."""
+    from dabloomray.pipelines.dedup import near_dedup_keep_first
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = near_dedup_keep_first(docs, "doc_id", "text", threshold=1.0)
+    return out.select_columns(["doc_id"])
+
+
 def _q_docs_shingle_fingerprint(sf_dir: str):
     """Min-shingle (Karp-Rabin rolling hash) document fingerprints —
     the 1-perm minhash similarity fingerprint, vectorized via
@@ -667,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_by_region": _q_customers_by_region,
         "docs_hash_sample": _q_docs_hash_sample,
         "docs_shingle_fingerprint": _q_docs_shingle_fingerprint,
+        "near_dedup_threshold1": _q_near_dedup_threshold1,
         "big_purchasers_without_big_error": _q_big_purchasers_without_big_error,
         "big_purchasers_with_big_error": _q_big_purchasers_with_big_error,
     }
@@ -781,6 +796,9 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_type = 'purchase' AND value > 150 AND "
             "user_id NOT IN (SELECT user_id FROM events "
             "WHERE event_type = 'error' AND value > 150)"
+        ),
+        "near_dedup_threshold1": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
         "big_purchasers_with_big_error": (
             "SELECT DISTINCT user_id FROM events "
