@@ -7,6 +7,7 @@ as Ray Data pipelines (SURVEY.md §3.1 "our equivalent").
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import numpy as np
@@ -369,31 +370,8 @@ def dedup_approx(
 
     import ray
 
-    from ..hashing import murmur3_x64_128_batch
-    from ..sketches.counting import CountingBloom
-    from ..stages.build import PARTITION_SEED
-
-    def project(batch: pa.Table) -> pa.Table:
-        hp, _ = murmur3_x64_128_batch(batch.column(key_col),
-                                      seed=PARTITION_SEED)
-        h1, h2 = CountingBloom.hash_keys(batch.column(key_col))
-        return pa.table({
-            "part_id": pa.array((hp % np.uint64(num_partitions))
-                                .astype(np.int32)),
-            "h1": pa.array(h1.view(np.int64), pa.int64()),
-            "h2": pa.array(h2.view(np.int64), pa.int64()),
-            "seq": batch.column(seq_col).cast(pa.int64()),
-        })
-
-    gate = _HashedBloomGateGroup(policy)
-
-    def gate_group(group: pa.Table) -> pa.Table:
-        return gate(group)
-
-    survivors_ds = (
-        ds.map_batches(project, batch_format="pyarrow")
-        .groupby("part_id").map_groups(gate_group, batch_format="pyarrow")
-    )
+    survivors_ds = dedup_survivor_seqs(ds, key_col, seq_col, policy,
+                                       num_partitions)
     target = apply_to if apply_to is not None else ds
     if payload == "auto":
         survivors_ds = survivors_ds.materialize()
@@ -444,6 +422,39 @@ def dedup_approx(
     return target.map_batches(keep_survivors, batch_format="pyarrow")
 
 
+def dedup_survivor_seqs(ds, key_col: str, seq_col: str,
+                        policy: ScalingPolicy, num_partitions: int):
+    """Phase 1 of the hash-only dedup modes (mask/join/rangemask):
+    project (part_id, h1, h2, seq) — 28 B/row, documents never enter
+    the exchange — then gate each partition through its scaling bloom
+    in seq order.  Returns a Dataset with one column ``seq`` holding
+    the surviving sequence ids."""
+    from ..hashing import murmur3_x64_128_batch
+    from ..sketches.counting import CountingBloom
+    from ..stages.build import PARTITION_SEED
+
+    def project(batch: pa.Table) -> pa.Table:
+        hp, _ = murmur3_x64_128_batch(batch.column(key_col),
+                                      seed=PARTITION_SEED)
+        h1, h2 = CountingBloom.hash_keys(batch.column(key_col))
+        return pa.table({
+            "part_id": pa.array((hp % np.uint64(num_partitions))
+                                .astype(np.int32)),
+            "h1": pa.array(h1.view(np.int64), pa.int64()),
+            "h2": pa.array(h2.view(np.int64), pa.int64()),
+            "seq": batch.column(seq_col).cast(pa.int64()),
+        })
+
+    gate = _HashedBloomGateGroup(policy)
+
+    def gate_group(group: pa.Table) -> pa.Table:
+        return gate(group)
+
+    return (ds.map_batches(project, batch_format="pyarrow")
+            .groupby("part_id").map_groups(gate_group,
+                                           batch_format="pyarrow"))
+
+
 class _RangeMaskFilter:
     """Actor: filter a batch to surviving seq ids by loading ONLY the
     survivor range-buckets overlapping the batch's own
@@ -491,23 +502,53 @@ class _RangeMaskFilter:
         return batch.filter(pa.array(surv[pos] == seqs))
 
 
-def _rangemask_filter(target, survivors_ds, seq_col: str, spill_dir: str,
-                      range_buckets: int):
-    """Spill the survivor seq set to seq-range buckets, then filter the
-    target without shuffling it (see ``dedup_approx`` rangemask docs)."""
-    import os
+RANGEMASK_SENTINEL = "_RANGEMASK.json"
+
+
+def _clear_rangemask_dir(spill_dir: str) -> None:
+    """Guarded reset of a rangemask spill dir: delete it ONLY if it is
+    empty or contains nothing but a previous rangemask run's artifacts
+    (``bucket=*.parquet``, the sentinel, stray ``*.tmp``).  A directory
+    holding anything else (a user's output or checkpoint dir passed by
+    mistake) raises instead of being silently destroyed."""
+    import shutil
+
+    if os.path.isdir(spill_dir):
+        foreign = [e for e in os.listdir(spill_dir)
+                   if e != RANGEMASK_SENTINEL
+                   and not (e.startswith("bucket=") and e.endswith(".parquet"))
+                   and not e.endswith(".tmp")]
+        if foreign:
+            raise ValueError(
+                f"rangemask spill_dir {spill_dir!r} contains non-rangemask "
+                f"entries {foreign[:5]}; refusing to delete it — pass an "
+                f"empty or dedicated directory")
+        shutil.rmtree(spill_dir)
+    os.makedirs(spill_dir, exist_ok=True)
+
+
+def rangemask_spill(survivors_ds, spill_dir: str, range_buckets: int):
+    """Write the survivor seq set (Dataset with column ``seq``) to
+    ``spill_dir`` bucketed by seq range, finishing with an atomic
+    sentinel (``_RANGEMASK.json``) carrying the bucket boundaries —
+    so the directory doubles as a resumable checkpoint: a sentinel
+    means every bucket underneath it is complete.  Returns the
+    boundaries array (None when there are no survivors)."""
+    import json
 
     import pyarrow.parquet as pq
-    import ray
 
     from ..checkpoint import _atomic_write
 
+    _clear_rangemask_dir(spill_dir)
     survivors_ds = survivors_ds.materialize()
     lo = survivors_ds.min("seq")
     hi = survivors_ds.max("seq")
     if lo is None:  # no survivors at all
-        return target.map_batches(lambda t: t.slice(0, 0),
-                                  batch_format="pyarrow")
+        _atomic_write(os.path.join(spill_dir, RANGEMASK_SENTINEL),
+                      lambda tmp: open(tmp, "w").write(
+                          json.dumps({"empty": True})))
+        return None
     # inner edges of range_buckets equal-width buckets over [lo, hi]
     boundaries = np.linspace(lo, hi, range_buckets + 1)[1:-1].astype(
         np.int64)
@@ -516,15 +557,6 @@ def _rangemask_filter(target, survivors_ds, seq_col: str, spill_dir: str,
         s = batch.column("seq").to_numpy()
         b = np.searchsorted(boundaries, s, side="right").astype(np.int32)
         return batch.append_column("bucket", pa.array(b))
-
-    # start from an empty spill dir: a bucket with no survivors writes
-    # no file (missing file == empty range, by design), so a STALE
-    # file from a previous run with different boundaries would leak
-    # false survivors
-    import shutil
-
-    shutil.rmtree(spill_dir, ignore_errors=True)
-    os.makedirs(spill_dir, exist_ok=True)
 
     def write_bucket(group: pa.Table) -> pa.Table:
         b = int(group.column("bucket")[0].as_py())
@@ -535,11 +567,43 @@ def _rangemask_filter(target, survivors_ds, seq_col: str, spill_dir: str,
                          "n": pa.array([len(group)], pa.int64())})
 
     # one writer per bucket (groupby ownership ⇒ atomic, no races);
-    # count() drives the write and returns the tiny summary
+    # count() drives the write and returns the tiny summary.  The
+    # sentinel lands strictly AFTER every bucket (count() blocks), so
+    # a killed spill leaves no sentinel and a resume recomputes.
     (survivors_ds.map_batches(assign, batch_format="pyarrow")
      .groupby("bucket").map_groups(write_bucket, batch_format="pyarrow")
      .count())
+    _atomic_write(os.path.join(spill_dir, RANGEMASK_SENTINEL),
+                  lambda tmp: open(tmp, "w").write(json.dumps(
+                      {"boundaries": boundaries.tolist(),
+                       "range_buckets": int(range_buckets)})))
+    return boundaries
 
+
+def rangemask_load(spill_dir: str):
+    """Load a completed rangemask checkpoint's boundaries, or None if
+    no sentinel exists (spill incomplete / never ran).  An ``empty``
+    sentinel (zero survivors) returns the string ``"empty"``."""
+    import json
+
+    path = os.path.join(spill_dir, RANGEMASK_SENTINEL)
+    if not os.path.exists(path):
+        return None
+    meta = json.load(open(path))
+    if meta.get("empty"):
+        return "empty"
+    return np.asarray(meta["boundaries"], dtype=np.int64)
+
+
+def rangemask_apply(target, spill_dir: str, seq_col: str, boundaries):
+    """Filter ``target`` to the survivor seqs held in a spilled
+    rangemask directory (no shuffle of the target; each task loads
+    only its overlapping buckets).  ``boundaries`` is the array from
+    :func:`rangemask_spill` / :func:`rangemask_load`; None or
+    ``"empty"`` means zero survivors."""
+    if boundaries is None or isinstance(boundaries, str):
+        return target.map_batches(lambda t: t.slice(0, 0),
+                                  batch_format="pyarrow")
     return target.map_batches(
         _RangeMaskFilter,
         fn_constructor_kwargs={"spill_dir": spill_dir,
@@ -547,6 +611,14 @@ def _rangemask_filter(target, survivors_ds, seq_col: str, spill_dir: str,
                                "seq_col": seq_col},
         batch_format="pyarrow", concurrency=(1, 8),
     )
+
+
+def _rangemask_filter(target, survivors_ds, seq_col: str, spill_dir: str,
+                      range_buckets: int):
+    """Spill the survivor seq set to seq-range buckets, then filter the
+    target without shuffling it (see ``dedup_approx`` rangemask docs)."""
+    boundaries = rangemask_spill(survivors_ds, spill_dir, range_buckets)
+    return rangemask_apply(target, spill_dir, seq_col, boundaries)
 
 
 class _HashedBloomGateGroup:

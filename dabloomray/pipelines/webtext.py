@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -89,6 +88,7 @@ def webtext_pipeline_resumable(
     policy: ScalingPolicy | None = None,
     num_partitions: int = 32,
     max_shards: int | None = None,
+    range_buckets: int = 64,
 ) -> dict:
     """Resumable variant: one output directory per INPUT SHARD (file),
     written atomically and tracked in a manifest — a failed run skips
@@ -96,10 +96,15 @@ def webtext_pipeline_resumable(
 
     Two-level resume:
     1. the GLOBAL dedup survivor set (order-dependent across shards) is
-       computed once and checkpointed as sorted seq ids
-       (``_survivors.parquet``);
-    2. the shard-parallel tail (filter → extract → stats → write) runs
-       per input file; each finished shard is published to
+       computed once and checkpointed AS a rangemask bucket directory
+       (``_survivor_buckets/``): seq-range-bucketed parquet files plus
+       an atomic sentinel.  Nothing survivor-sized ever lands on the
+       driver or in a ``ray.put`` — the same beyond-10^8-survivors
+       contract as ``dedup_approx(payload="rangemask")``, and the spill
+       is already a persisted, resumable artifact (sentinel == every
+       bucket complete).
+    2. the shard-parallel tail (rangemask filter → extract → stats →
+       write) runs per input file; each finished shard is published to
        ``_MANIFEST.json`` only after its directory rename.
 
     ``max_shards`` stops after N shards (fault-injection hook for
@@ -110,13 +115,16 @@ def webtext_pipeline_resumable(
     import glob
     import json
 
-    import numpy as np
-    import pyarrow.parquet as pq
-    import ray
     import ray.data as rd
 
     from ..checkpoint import _atomic_write
     from ..extract import extract_text_batch
+    from .core import (
+        dedup_survivor_seqs,
+        rangemask_apply,
+        rangemask_load,
+        rangemask_spill,
+    )
 
     policy = policy or ScalingPolicy(capacity0=50_000, target_error=0.05)
     os.makedirs(out_dir, exist_ok=True)
@@ -124,21 +132,15 @@ def webtext_pipeline_resumable(
     manifest = (json.load(open(man_path))
                 if os.path.exists(man_path) else {"shards": {}})
 
-    # phase 1: global survivors, checkpointed
-    surv_path = os.path.join(out_dir, "_survivors.parquet")
-    if not os.path.exists(surv_path):
+    # phase 1: global survivors, checkpointed as the rangemask spill
+    spill_dir = os.path.join(out_dir, "_survivor_buckets")
+    boundaries = rangemask_load(spill_dir)
+    if boundaries is None:  # no sentinel: spill absent or incomplete
         light = rd.read_parquet(input_path, columns=["url", "warc_ts"]) \
             .map_batches(add_seq_from_ts(), batch_format="pyarrow")
-        gated = dedup_approx(light, "url", "seq_id", policy=policy,
-                             num_partitions=num_partitions, payload="mask")
-        seqs = np.sort(np.concatenate(
-            [b.column("seq_id").to_numpy() for b in
-             gated.select_columns(["seq_id"]).iter_batches(
-                 batch_size=None, batch_format="pyarrow")]))
-        _atomic_write(surv_path, lambda tmp: pq.write_table(
-            pa.table({"seq": pa.array(seqs, pa.int64())}), tmp))
-    seqs = pq.read_table(surv_path).column("seq").to_numpy()
-    ref = ray.put(seqs)
+        survivors = dedup_survivor_seqs(light, "url", "seq_id",
+                                        policy, num_partitions)
+        boundaries = rangemask_spill(survivors, spill_dir, range_buckets)
 
     files = sorted(glob.glob(os.path.join(input_path, "*.parquet"))) \
         if os.path.isdir(input_path) else [input_path]
@@ -163,14 +165,7 @@ def webtext_pipeline_resumable(
         ds = rd.read_parquet(f, columns=["url", "warc_ts", "html"]) \
             .map_batches(add_seq_from_ts(), batch_format="pyarrow")
 
-        def keep(batch: pa.Table) -> pa.Table:
-            s = ray.get(ref)
-            v = batch.column("seq_id").to_numpy()
-            pos = np.minimum(np.searchsorted(s, v), max(0, len(s) - 1))
-            return batch.filter(pa.array(s[pos] == v)) if len(s) \
-                else batch.slice(0, 0)
-
-        out = ds.map_batches(keep, batch_format="pyarrow")
+        out = rangemask_apply(ds, spill_dir, "seq_id", boundaries)
         out = out.map_batches(extract_text_batch, batch_format="pyarrow") \
             .drop_columns(["html"])
         out = out.map_batches(token_count_whitespace, batch_format="pyarrow")

@@ -305,3 +305,18 @@ def test_rangemask_spill_dir_reuse_is_safe(urls_ds, tmp_path):
         sorted(rows.column("seq_id").to_pylist())
     import os
     assert not os.path.exists(spill / "bucket=999.parquet")
+
+
+def test_rangemask_refuses_foreign_dir(urls_ds, tmp_path):
+    """ADVICE r2 #1: a spill_dir holding anything other than a prior
+    rangemask run's artifacts must raise, not be silently rmtree'd."""
+    urls, ds = urls_ds
+    spill = tmp_path / "users_checkpoints"
+    spill.mkdir()
+    (spill / "important.txt").write_text("do not delete")
+    with pytest.raises(ValueError, match="refusing to delete"):
+        dedup_approx(ds, "url", "seq_id",
+                     policy=ScalingPolicy(capacity0=1000, target_error=0.05),
+                     num_partitions=4, payload="rangemask",
+                     spill_dir=str(spill), range_buckets=8)
+    assert (spill / "important.txt").read_text() == "do not delete"
