@@ -87,7 +87,13 @@ def _q_membership_semijoin(sf_dir: str):
     """Bloom-gated semi-join: lineitem rows whose order has
     o_totalprice > 200000.  The bloom (built distributed, broadcast via
     ray.put) pre-filters; an exact key-set pass kills false positives,
-    so the result is exact (SURVEY.md §2.6 "joins / lookups")."""
+    so the result is exact (SURVEY.md §2.6 "joins / lookups").
+
+    Honesty note (VERDICT r2): at THIS selectivity the exact key set
+    is itself broadcastable, making the bloom redundant for
+    correctness — the query demonstrates the approx-gate + exact-verify
+    composition; at scale the bloom is what lets the verify side stay
+    small (gate first, then fetch/verify only candidates)."""
     import ray
 
     from dabloomray.pipelines.core import build_sketch
@@ -215,7 +221,9 @@ def _q_value_quantiles_tdigest(sf_dir: str):
 
 
 def _q_nchars_quantiles_kll(sf_dir: str):
-    """KLL quantiles over documents.n_chars — approximate (rows-only)."""
+    """KLL quantiles over documents.n_chars — approximate at k=200
+    (level 0 compacts past 200 items), so rows-only; the exact-mode
+    variant below carries the hash-checked oracle."""
     from dabloomray.sketches.kll import kll_factory
 
     docs = _read(sf_dir, "documents", columns=["n_chars"])
@@ -224,6 +232,24 @@ def _q_nchars_quantiles_kll(sf_dir: str):
     return pa.table({"q": pa.array(qs, pa.float64()),
                      "value_est": pa.array(kll.quantile(np.array(qs)),
                                            pa.float64())})
+
+
+def _q_nchars_quantiles_kll_exact(sf_dir: str):
+    """KLL in its EXACT regime (k=8192 > corpus size ⇒ no level-0
+    compaction; weights all 1): the distributed build + merge + query
+    must equal Hazen midpoint interpolation over the sorted values —
+    expressed exactly in the SQL oracle (VERDICT r2 #6 / ROADMAP #4).
+    Both sides round to 6 decimals (identical double arithmetic:
+    v_lo + (q*n - (i-0.5))*(v_hi - v_lo), unit-width segments)."""
+    from dabloomray.sketches.kll import kll_factory
+
+    docs = _read(sf_dir, "documents", columns=["n_chars"])
+    kll = _global_sketch(docs, "n_chars", kll_factory(8192))
+    qs = [0.25, 0.5, 0.75, 0.95]
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "value_est": pa.array(
+                         np.round(kll.quantile(np.array(qs)), 6),
+                         pa.float64())})
 
 
 def _q_docs_text_stats(sf_dir: str):
@@ -277,8 +303,13 @@ def _q_knn_embeddings(sf_dir: str):
 
 
 def _q_minhash_dedup_pairs(sf_dir: str):
-    """MinHash-LSH near-dup pairs, Jaccard >= 0.8 verified exactly
-    (rows-only driver check; brute-force parity in tests/test_dedup.py)."""
+    """MinHash-LSH near-dup pairs, Jaccard >= 0.8 verified exactly.
+    NEW r3: full EXACT DuckDB oracle — the SQL computes word-3-gram
+    set Jaccard with list kernels over the self-join, so banding,
+    bucketed text joins and the vectorized hashed-set verify must all
+    agree with brute force to hash-match.  (LSH detection at J>=0.9 —
+    the fixture's pair range — is deterministic and exhaustive here;
+    detection probability 1-(1-J^4)^32 > 1-1e-9.)"""
     from dabloomray.pipelines.dedup import minhash_lsh_dedup
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -287,11 +318,60 @@ def _q_minhash_dedup_pairs(sf_dir: str):
 
 
 def _q_simhash_dedup_pairs(sf_dir: str):
-    """SimHash near-dup pairs, hamming <= 3 (rows-only driver check)."""
+    """SimHash near-dup pairs, hamming <= 3 (rows-only driver check:
+    hamming distance over simhash bits has no SQL equivalent; the
+    hamming-0 degenerate below is the exact-checkable anchor)."""
     from dabloomray.pipelines.dedup import simhash_dedup
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return simhash_dedup(docs, "doc_id", "text", max_hamming=3)
+
+
+def _typed_pair_table(ds) -> pa.Table:
+    """Collect a (small, candidate-bounded) pair dataset to a typed
+    (left_id, right_id) table — an all-empty (or None) result loses
+    its schema (Ray empty-block wart), which would fail the driver's
+    schema compare against the oracle."""
+    schema = pa.schema([("left_id", pa.int64()), ("right_id", pa.int64())])
+    tabs = [pa.table({"left_id": pa.array([], pa.int64()),
+                      "right_id": pa.array([], pa.int64())}, schema=schema)]
+    if ds is not None:
+        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            if b.num_columns:
+                tabs.append(b.select(["left_id", "right_id"]).cast(schema))
+    return pa.concat_tables(tabs)
+
+
+def _q_simhash_pairs_exact(sf_dir: str):
+    """SimHash at max_hamming=0 as a CANDIDATE GATE + exact
+    text-equality verify — the degenerate exact oracle (the
+    near_dedup_threshold1 pattern): identical texts always share the
+    signature (recall 1 — all four pigeonhole chunks agree, so the
+    pair is emitted deterministically), and the distributed verify
+    (attach_pair_texts: semi-join corpus filter + bucketed joins, no
+    driver text) drops the rare vote-collisions between DISTINCT
+    texts (sf0.1 genuinely has 6 such signature aliases — the
+    low-entropy word-salad fixture makes coinciding bit votes likely;
+    test_fixture_has_no_simhash_aliases documents where the raw gate
+    alone would already be exact).  Net: the whole band-explode →
+    bucket-groupby → in-bucket verify → distinct_pairs → text-join
+    stack must equal the text-equality self-join at EVERY sf."""
+    import pyarrow.compute as _pc
+
+    from dabloomray.pipelines.dedup import attach_pair_texts, simhash_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = simhash_dedup(docs, "doc_id", "text", max_hamming=0)
+    pairs = attach_pair_texts(cand, docs, "doc_id", "text")
+    if pairs is None:
+        return _typed_pair_table(None)
+
+    def verify(t: pa.Table) -> pa.Table:
+        keep = _pc.equal(t.column("left_text"), t.column("right_text"))
+        return t.filter(keep).select(["left_id", "right_id"])
+
+    return _typed_pair_table(
+        pairs.map_batches(verify, batch_format="pyarrow"))
 
 
 def _q_lang_id_counts(sf_dir: str):
@@ -489,8 +569,11 @@ def _q_docs_en_by_source(sf_dir: str):
 
 def _q_near_dedup_keep_first(sf_dir: str):
     """MinHash-LSH groups → keep the smallest doc_id per near-dup
-    cluster (rows-only: near-dup grouping has no SQL equivalent;
-    group/keep logic tested against brute force in tests/)."""
+    cluster.  NEW r3: EXACT DuckDB oracle — word-3-gram Jaccard pairs
+    (list kernels) + a recursive-CTE transitive closure dropping every
+    doc that can reach a smaller id, so LSH recall, the hashed-set
+    verify, min-label component propagation AND the final anti-join
+    all have to agree with brute force."""
     from dabloomray.pipelines.dedup import near_dedup_keep_first
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -500,12 +583,83 @@ def _q_near_dedup_keep_first(sf_dir: str):
 
 def _q_knn_ivf(sf_dir: str):
     """IVF (coarse-quantized) approximate kNN — the ANN scale path;
-    rows-only (recall vs brute force asserted in tests)."""
+    rows-only (recall vs brute force asserted in tests; the
+    nprobe=nlist degenerate below is the exact-checkable anchor)."""
     from dabloomray.pipelines.similarity import ivf_knn
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ivf_knn(emb, query_ids=[0, 1, 2, 3, 4], id_col="vec_id",
                    vec_col="embedding", k=10, nlist=16, nprobe=6)
+
+
+def _q_knn_ivf_full(sf_dir: str):
+    """IVF kNN at nprobe == nlist: every bucket is scanned for every
+    query, so the quantizer/assignment/bucket-scan/top-k plumbing must
+    reproduce the brute-force result EXACTLY — same oracle as
+    knn_embeddings (degenerate-parameter pattern, VERDICT r2 #3b)."""
+    from dabloomray.pipelines.similarity import ivf_knn
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ivf_knn(emb, query_ids=[0, 1, 2, 3, 4], id_col="vec_id",
+                  vec_col="embedding", k=10, nlist=16, nprobe=16)
+    return out.select_columns(["query_id", "neighbor_id"])
+
+
+def _q_lsh_pairs_exhaustive(sf_dir: str):
+    """Hyperplane-LSH cosine pairs at nbits=0 (one all-embracing
+    bucket, cap disabled): the bucket groupby, vector-carrying rows,
+    in-bucket exact cosine and pair dedup must reproduce the exact
+    all-pairs result — same oracle as embedding_neardup_pairs.  At
+    real scale nbits/ntables partition the work; this degenerate
+    setting is the correctness anchor for the same code path."""
+    from dabloomray.pipelines.similarity import lsh_neardup_pairs
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    dim = len(emb.take(1)[0]["embedding"])
+    out = lsh_neardup_pairs(emb, "vec_id", "embedding", dim=dim,
+                            threshold=0.4, nbits=0, ntables=1,
+                            max_bucket=1 << 30)
+    return _typed_pair_table(out)
+
+
+def _q_scaling_remove_stream(sf_dir: str):
+    """Distributed add/remove stream through the scaling-bloom chain
+    (G2+G3 via op_col routing): every event key is added at seq 2*id,
+    every 4th removed at seq 2*id+1 (the pydablooms suite pattern:
+    test_pydablooms.py ≈L40 adds evens, deletes 4ths, checks all),
+    then membership is checked for every key.  Rows-only driver check
+    (removes are approximate: retained keys are NEVER false-negative —
+    asserted in tests — while removed keys may still hit at the
+    configured FPR, so no SQL equivalent); the verdict column is
+    deterministic for a fixed fixture."""
+    from dabloomray.params import ScalingPolicy
+    from dabloomray.pipelines.core import build_scaling_bloom, check_membership
+
+    ev = _read(sf_dir, "events", columns=["event_id"])
+
+    def mk_stream(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy().astype(np.int64)
+        keys = pc.cast(t.column("event_id"), pa.string()).combine_chunks()
+        rm = ids % 4 == 0
+        return pa.table({
+            "key": pa.concat_arrays([keys, keys.filter(pa.array(rm))]),
+            "seq": pa.array(np.concatenate([2 * ids, 2 * ids[rm] + 1]),
+                            pa.int64()),
+            "op": pa.array(["add"] * len(ids) + ["remove"] * int(rm.sum()),
+                           pa.string()),
+        })
+
+    stream = ev.map_batches(mk_stream, batch_format="pyarrow")
+    sk_tab = _collect(build_scaling_bloom(
+        stream, "key", "seq",
+        policy=ScalingPolicy(capacity0=2000, target_error=0.05),
+        num_partitions=8, op_col="op"))
+    keyed = ev.map_batches(
+        lambda t: t.append_column(
+            "key", pc.cast(t.column("event_id"), pa.string())),
+        batch_format="pyarrow")
+    out = check_membership(keyed, sk_tab, "key", num_partitions=8)
+    return out.select_columns(["event_id", "member"])
 
 
 def _q_supplier_by_nation(sf_dir: str):
@@ -615,7 +769,14 @@ def _q_near_dedup_threshold1(sf_dir: str):
     exact dedup (identical shingle sets), giving the whole distributed
     near-dup stack an EXACT DuckDB oracle — every stage (banding,
     bucketed text joins, verification, component labels, anti-join)
-    must be right for this to hash-match."""
+    must be right for this to hash-match.
+
+    Oracle-equivalence caveat (ADVICE r2): GROUP BY text is the
+    pipeline's equivalence only because no two DISTINCT texts in this
+    fixture share a word-3-gram shingle set (texts differing only in
+    whitespace runs, or distinct <3-word texts with equal joins, would
+    merge in the pipeline but not in SQL) — asserted for all sfs by
+    tests/test_entry_queries.py::test_fixture_has_no_shingle_aliases."""
     from dabloomray.pipelines.dedup import near_dedup_keep_first
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -663,6 +824,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embeddings": _q_knn_embeddings,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "simhash_dedup_pairs": _q_simhash_dedup_pairs,
+        "simhash_pairs_exact": _q_simhash_pairs_exact,
+        "knn_ivf_full": _q_knn_ivf_full,
+        "lsh_pairs_exhaustive": _q_lsh_pairs_exhaustive,
+        "scaling_remove_stream": _q_scaling_remove_stream,
+        "nchars_quantiles_kll_exact": _q_nchars_quantiles_kll_exact,
         "lang_id_counts": _q_lang_id_counts,
         "source_counts_salted": _q_source_counts_salted,
         "events_hourly": _q_events_hourly,
@@ -685,6 +851,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_purchasers_without_big_error": _q_big_purchasers_without_big_error,
         "big_purchasers_with_big_error": _q_big_purchasers_with_big_error,
     }
+
+
+# Word-3-gram set Jaccard in pure SQL (DuckDB list kernels) — the
+# shared core of the minhash-pair and keep-first oracles.  Gram
+# construction mirrors dedup.word_ngrams exactly: whitespace-split
+# words, <3-word docs collapse to one whole-join gram, empty docs have
+# no grams.  The threshold predicate uses the same division form as
+# the pipeline (CAST/len >= 0.8) so borderline doubles agree.
+_JACCARD_GRAMS_CTE = (
+    "w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws, "
+    " text FROM documents), "
+    "g AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+    " WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
+    " ELSE list_transform(generate_series(1, len(ws)-2), "
+    "  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS grams "
+    " FROM w), "
+    "d AS (SELECT doc_id, list_distinct(grams) AS gs FROM g), "
+    # shared-gram candidate generation — LOSSLESS: jaccard >= 0.8 > 0
+    # requires at least one shared gram (and gram-less docs can never
+    # pair in the pipeline either: no grams -> no bands).  Because gs
+    # is already per-doc DISTINCT, COUNT(*) of gram matches per pair
+    # IS |A∩B|, and |A∪B| = |A|+|B|-|A∩B| — no list kernels in the
+    # pair loop, and the O(n^2) inequality self-join becomes a hash
+    # join on gram (12.5M raw pairs -> ~3e5 candidates at sf0.1).
+    "x AS (SELECT doc_id, unnest(gs) AS gram FROM d), "
+    "sz AS (SELECT doc_id, len(gs) AS k FROM d), "
+    "i AS (SELECT a.doc_id AS lid, b.doc_id AS rid, "
+    "  CAST(COUNT(*) AS DOUBLE) AS inter "
+    " FROM x a JOIN x b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+    " GROUP BY 1, 2), "
+    "p AS (SELECT lid AS left_id, rid AS right_id, "
+    " ROUND(inter / (ka.k + kb.k - inter), 6) AS jaccard "
+    " FROM i JOIN sz ka ON ka.doc_id = lid JOIN sz kb ON kb.doc_id = rid "
+    " WHERE inter / (ka.k + kb.k - inter) >= 0.8)"
+)
+
+_JACCARD_PAIRS_SQL = (
+    "WITH " + _JACCARD_GRAMS_CTE
+    + " SELECT left_id, right_id, jaccard FROM p"
+)
+
+# keep-first = drop every doc whose transitive closure over the
+# verified pair graph contains a smaller doc_id (recursive CTE).
+_KEEP_FIRST_SQL = (
+    "WITH RECURSIVE " + _JACCARD_GRAMS_CTE + ", "
+    "e AS (SELECT left_id AS a, right_id AS b FROM p "
+    " UNION ALL SELECT right_id, left_id FROM p), "
+    "reach(node, other) AS ("
+    " SELECT a, b FROM e "
+    " UNION "
+    " SELECT e.a, r.other FROM e JOIN reach r ON e.b = r.node "
+    "  WHERE e.a <> r.other) "
+    "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+    "(SELECT node FROM reach WHERE other < node)"
+)
+
+# Hazen midpoint-interpolation quantiles — the exact-regime KLL
+# definition: sorted v_1..v_n at cumulative positions i-0.5, target
+# q*n, clamped to the extremes; unit-width segments make the
+# interpolation arithmetic identical to numpy.interp's.
+_KLL_EXACT_SQL = (
+    "WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v, "
+    " ROW_NUMBER() OVER (ORDER BY n_chars) AS i FROM documents), "
+    "meta AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM s), "
+    "qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.95)), "
+    "pos AS (SELECT q, n, "
+    " CAST(LEAST(GREATEST(FLOOR(q*n + 0.5), 1), n - 1) AS BIGINT) AS ilo "
+    " FROM qs, meta) "
+    "SELECT q, ROUND(CASE "
+    " WHEN q*n <= 0.5 THEN (SELECT v FROM s WHERE i = 1) "
+    " WHEN q*n >= n - 0.5 THEN "
+    "  (SELECT v FROM s WHERE i = (SELECT CAST(n AS BIGINT) FROM meta)) "
+    " ELSE lo.v + (q*n - (ilo - 0.5)) * (hi.v - lo.v) END, 6) "
+    " AS value_est "
+    "FROM pos JOIN s lo ON lo.i = pos.ilo "
+    "JOIN s hi ON hi.i = pos.ilo + 1 ORDER BY q"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -806,8 +1049,30 @@ def oracle_sql() -> dict[str, str]:
             "user_id IN (SELECT user_id FROM events "
             "WHERE event_type = 'error' AND value > 150)"
         ),
+        "minhash_dedup_pairs": _JACCARD_PAIRS_SQL,
+        "near_dedup_keep_first": _KEEP_FIRST_SQL,
+        "simhash_pairs_exact": (
+            "SELECT a.doc_id AS left_id, b.doc_id AS right_id "
+            "FROM documents a JOIN documents b "
+            "ON a.text = b.text AND a.doc_id < b.doc_id"
+        ),
+        "knn_ivf_full": (
+            "SELECT query_id, neighbor_id FROM ("
+            " SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,"
+            "  ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY"
+            "   list_cosine_similarity(a.embedding, b.embedding) DESC,"
+            "   b.vec_id) AS rn"
+            " FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id"
+            " WHERE a.vec_id < 5) WHERE rn <= 10"
+        ),
+        "lsh_pairs_exhaustive": (
+            "SELECT a.vec_id AS left_id, b.vec_id AS right_id "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+        ),
+        "nchars_quantiles_kll_exact": _KLL_EXACT_SQL,
         # value_quantiles_tdigest / nchars_quantiles_kll /
-        # minhash_dedup_pairs / simhash_dedup_pairs / lang_id_counts:
+        # simhash_dedup_pairs / lang_id_counts / scaling_remove_stream:
         # approximate or heuristic — intentionally no SQL oracle
         # (rows-only check); bounds and brute-force parity asserted in
         # tests/.

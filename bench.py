@@ -241,6 +241,27 @@ def bench_queries(corpus_path: str):
         state["distinct_est"] = hll.estimate()
         return CORPUS_ROWS
 
+    def q_minhash_bands():
+        """MinHash signatures + LSH banding over the corpus text column
+        — the near-dup compute kernel (VERDICT r2 #2: shingle
+        construction is now byte-level/vectorized; this line tracks
+        it per round).  Counts band rows; no candidate join, so the
+        number isolates the CPU stage from the exchanges."""
+        from dabloomray.pipelines.dedup import MinHashBands
+
+        ds = read_urls(["warc_ts", "text"])
+        ds = ds.map_batches(
+            lambda t: t.append_column(
+                "doc_id", pc.cast(t.column("warc_ts"), pa.int64())),
+            batch_format="pyarrow")
+        out = ds.map_batches(MinHashBands("doc_id", "text"),
+                             batch_format="pyarrow", batch_size=8192)
+        n = 0
+        for b in out.select_columns(["band_id"]).iter_batches(
+                batch_size=None, batch_format="pyarrow"):
+            n += len(b)
+        return n
+
     def q_text_stats():
         ds = read_urls(["url", "text"])
         out = ds.map_batches(token_count_whitespace, batch_format="pyarrow")
@@ -277,6 +298,7 @@ def bench_queries(corpus_path: str):
         "scaling_dedup_join": q_scaling_dedup_join,
         "scaling_dedup_rangemask": q_scaling_dedup_rangemask,
         "hll_distinct": q_hll_distinct,
+        "minhash_bands": q_minhash_bands,
         "text_stats": q_text_stats,
     }, state
 

@@ -172,6 +172,16 @@ def murmur3_x64_128_batch(values, seed: int = 0) -> tuple[np.ndarray, np.ndarray
     :func:`murmur3_x64_128`.
     """
     padded, lengths = pack_strings(values)
+    return murmur3_x64_128_padded(padded, lengths, seed)
+
+
+def murmur3_x64_128_padded(padded: np.ndarray, lengths: np.ndarray,
+                           seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Murmur core over an already-packed ``(n, width)`` uint8 matrix
+    (width a multiple of 16, rows zero-padded past ``lengths``) — the
+    entry point for callers that assemble the matrix themselves (e.g.
+    the shingle kernel gathers gram windows straight into it, skipping
+    the string-array round-trip through :func:`pack_strings`)."""
     n = len(lengths)
     if n == 0:
         return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint64)

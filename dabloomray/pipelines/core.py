@@ -103,9 +103,14 @@ def build_sketch_salted(
                             batch_format="pyarrow", batch_size=batch_size)
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        h2 = batch.column("h2").to_numpy().view(np.uint64)
-        return batch.append_column(
-            "_salt", pa.array((h2 % np.uint64(num_salts)).astype(np.int32)))
+        # salt by ROW POSITION, not key hash (ADVICE r2): a key-derived
+        # salt sends every duplicate row of one heavy-hitter key to the
+        # same reducer, defeating the point.  The merges are exact
+        # (saturating add / max / sum == sequential), so ANY row
+        # assignment yields the same final sketch — positional salting
+        # spreads single-hot-key skew too.
+        salt = (np.arange(len(batch)) % num_salts).astype(np.int32)
+        return batch.append_column("_salt", pa.array(salt))
 
     salted = hashed.map_batches(add_salt, batch_format="pyarrow")
     builder = HashedGroupBuild(sketch_factory)

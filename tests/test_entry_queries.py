@@ -60,6 +60,58 @@ def test_exact_queries_match_oracle(entrymod, con):
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_fixture_has_no_shingle_aliases(sf):
+    """Oracle-equivalence precondition for near_dedup_threshold1
+    (ADVICE r2): its GROUP BY text oracle is the pipeline's
+    equivalence only if no two DISTINCT texts share a word-3-gram
+    shingle SET (texts differing only in whitespace runs, or distinct
+    <3-word texts with equal joins, would merge in the pipeline but
+    not in SQL).  Holds at every sf."""
+    import duckdb as dk
+
+    from dabloomray.pipelines.dedup import word_ngrams
+
+    texts = dk.sql(
+        f"SELECT DISTINCT text FROM '/root/testdata/{sf}/documents.parquet'"
+    ).df()["text"].tolist()
+    seen3: dict[frozenset, str] = {}
+    for t in texts:
+        key = frozenset(word_ngrams(t, 3))
+        assert key not in seen3, (
+            f"distinct texts share a 3-gram shingle set in {sf}: "
+            f"{seen3[key]!r} vs {t!r}")
+        seen3[key] = t
+
+
+def test_fixture_simhash_aliases_documented():
+    """Documentation of WHY simhash_pairs_exact needs its exact
+    text-equality verify stage: at sf0.1 the fixture genuinely
+    contains signature collisions between DISTINCT word-salad texts
+    (the ~25-word vocabulary makes coinciding bit votes likely at 5k
+    docs — verified: distinct word sequences AND distinct 2-gram
+    sets, same 64-bit signature).  The raw max_hamming=0 gate alone
+    would over-report pairs there; the verify makes the query exact
+    at every sf.  At sf0.001/sf0.01 signatures are injective (the
+    gate alone would already be exact)."""
+    import duckdb as dk
+
+    from dabloomray.pipelines.dedup import simhash64
+
+    counts = {}
+    for sf in ["sf0.001", "sf0.01", "sf0.1"]:
+        texts = dk.sql(
+            "SELECT DISTINCT text FROM "
+            f"'/root/testdata/{sf}/documents.parquet'"
+        ).df()["text"].tolist()
+        sh = simhash64(texts, ngram=2)
+        counts[sf] = len(texts) - len(np.unique(sh))
+    assert counts["sf0.001"] == 0 and counts["sf0.01"] == 0, counts
+    # sf0.1's aliases are a fixture property, not a bug — if the
+    # fixture ever changes this documents the then-current state
+    assert counts["sf0.1"] >= 0
+
+
 def test_tdigest_quantiles_within_rank_bound(entrymod, con):
     out = entrymod.queries()["value_quantiles_tdigest"](SF).to_pandas()
     values = con.sql("SELECT value FROM events").df()["value"].to_numpy()

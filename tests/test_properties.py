@@ -228,3 +228,49 @@ def test_simhash_vectorized_equals_rowwise(texts):
     from dabloomray.pipelines.dedup import _simhash64_rowwise, simhash64
 
     assert np.array_equal(simhash64(texts), _simhash64_rowwise(texts))
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts=st.lists(st.text(min_size=0, max_size=60),
+                      min_size=0, max_size=15),
+       n=st.integers(min_value=1, max_value=4))
+def test_shingle_hashes_byte_path_equals_rowwise(texts, n):
+    """VERDICT r2 #2: the byte-level shingle kernel must be
+    hash-identical to per-doc word_ngrams + murmur, for arbitrary
+    unicode (fallback) AND pure-ASCII inputs (fast path) — including
+    exotic whitespace (\\v, \\x1c-\\x1f) where Python's split() differs
+    from naive space splitting."""
+    from dabloomray.pipelines.dedup import (
+        _shingle_hashes_rowwise,
+        shingle_hashes,
+    )
+
+    h1, c1 = shingle_hashes(texts, n, seed=7)
+    h2, c2 = _shingle_hashes_rowwise(texts, n, seed=7)
+    assert np.array_equal(c1, c2)
+    assert np.array_equal(h1, h2)
+
+
+@settings(max_examples=40, deadline=None)
+@given(pairs=st.lists(
+    st.tuples(st.text(alphabet=" abcdef\t\n", min_size=0, max_size=60),
+              st.text(alphabet=" abcdef\t\n", min_size=0, max_size=60)),
+    min_size=0, max_size=12),
+    n=st.integers(min_value=1, max_value=3))
+def test_pairwise_jaccard_hashes_equals_scalar(pairs, n):
+    """VERDICT r2 #5: vectorized hashed-set Jaccard == python set
+    Jaccard over gram strings (constrained alphabet ⇒ many set
+    collisions exercised; hash collisions are ~2^-64)."""
+    from dabloomray.pipelines.dedup import (
+        jaccard,
+        pairwise_jaccard_hashes,
+        shingle_hashes,
+    )
+
+    lt = [a for a, _ in pairs]
+    rt = [b for _, b in pairs]
+    lh, lc = shingle_hashes(lt, n, seed=7)
+    rh, rc = shingle_hashes(rt, n, seed=7)
+    got = pairwise_jaccard_hashes(lh, lc, rh, rc)
+    want = np.array([jaccard(a, b, n) for a, b in pairs], dtype=np.float64)
+    assert np.allclose(got, want, atol=0)
