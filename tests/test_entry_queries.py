@@ -112,6 +112,26 @@ def test_fixture_simhash_aliases_documented():
     assert counts["sf0.1"] >= 0
 
 
+def test_scaling_remove_stream_semantics(entrymod):
+    """The distributed add/remove stream query (G2+G3 via op_col
+    routing, the pydablooms suite pattern): every RETAINED key (added,
+    never removed) must report member=True — the zero-false-negative
+    guarantee survives interleaved removes — while removed keys (every
+    4th) mostly report False (a removed key may still hit only at the
+    false-positive rate; bound it loosely at 2x the configured 0.05).
+    Deterministic for the fixed fixture (asserted by running twice)."""
+    out = entrymod.queries()["scaling_remove_stream"](SF).to_pandas()
+    retained = out[out["event_id"] % 4 != 0]
+    removed = out[out["event_id"] % 4 == 0]
+    assert len(retained) and len(removed)
+    assert retained["member"].all(), "false negative on a retained key"
+    fpr = removed["member"].mean()
+    assert fpr <= 0.10, f"removed-key hit rate {fpr:.4f} above bound"
+    again = entrymod.queries()["scaling_remove_stream"](SF).to_pandas()
+    assert out.sort_values("event_id").reset_index(drop=True).equals(
+        again.sort_values("event_id").reset_index(drop=True))
+
+
 def test_tdigest_quantiles_within_rank_bound(entrymod, con):
     out = entrymod.queries()["value_quantiles_tdigest"](SF).to_pandas()
     values = con.sql("SELECT value FROM events").df()["value"].to_numpy()
