@@ -207,9 +207,11 @@ def _q_event_type_freq_cms(sf_dir: str):
 
 
 def _q_value_quantiles_tdigest(sf_dir: str):
-    """t-digest quantiles over events.value — approximate, so no SQL
-    oracle (rows-only driver check); rank-error bound asserted in
-    tests/test_sketches.py and vs duckdb in tests/test_entry_queries.py."""
+    """t-digest quantiles over events.value — approximate at the
+    standard compression 200, so rows-only; rank-error bound asserted
+    in tests/test_sketches.py and vs duckdb in
+    tests/test_entry_queries.py.  The exact-regime variant below
+    carries the hash-checked oracle."""
     from dabloomray.sketches.tdigest import tdigest_factory
 
     ev = _read(sf_dir, "events", columns=["value"])
@@ -218,6 +220,25 @@ def _q_value_quantiles_tdigest(sf_dir: str):
     return pa.table({"q": pa.array(qs, pa.float64()),
                      "value_est": pa.array(td.quantile(np.array(qs)),
                                            pa.float64())})
+
+
+def _q_value_quantiles_tdigest_exact(sf_dir: str):
+    """t-digest in its EXACT regime (compression 10^6 > pi*n/2 for
+    every fixture sf, so the k1 scale function forbids absorbing ANY
+    neighbour — all centroids stay weight-1 singletons through both
+    the per-partition compress and the merge tree): quantile() is then
+    np.interp over cum_i = i-0.5, i.e. Hazen midpoint interpolation —
+    the same exact SQL oracle family as nchars_quantiles_kll_exact.
+    Distributed build + merge must reproduce it to hash-match."""
+    from dabloomray.sketches.tdigest import tdigest_factory
+
+    ev = _read(sf_dir, "events", columns=["value"])
+    td = _global_sketch(ev, "value", tdigest_factory(1_000_000))
+    qs = [0.25, 0.5, 0.75, 0.95]
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "value_est": pa.array(
+                         np.round(td.quantile(np.array(qs)), 6),
+                         pa.float64())})
 
 
 def _q_nchars_quantiles_kll(sf_dir: str):
@@ -829,6 +850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_pairs_exhaustive": _q_lsh_pairs_exhaustive,
         "scaling_remove_stream": _q_scaling_remove_stream,
         "nchars_quantiles_kll_exact": _q_nchars_quantiles_kll_exact,
+        "value_quantiles_tdigest_exact": _q_value_quantiles_tdigest_exact,
         "lang_id_counts": _q_lang_id_counts,
         "source_counts_salted": _q_source_counts_salted,
         "events_hourly": _q_events_hourly,
@@ -907,27 +929,38 @@ _KEEP_FIRST_SQL = (
     "(SELECT node FROM reach WHERE other < node)"
 )
 
-# Hazen midpoint-interpolation quantiles — the exact-regime KLL
-# definition: sorted v_1..v_n at cumulative positions i-0.5, target
-# q*n, clamped to the extremes; unit-width segments make the
-# interpolation arithmetic identical to numpy.interp's.
-_KLL_EXACT_SQL = (
-    "WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v, "
-    " ROW_NUMBER() OVER (ORDER BY n_chars) AS i FROM documents), "
-    "meta AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM s), "
-    "qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.95)), "
-    "pos AS (SELECT q, n, "
-    " CAST(LEAST(GREATEST(FLOOR(q*n + 0.5), 1), n - 1) AS BIGINT) AS ilo "
-    " FROM qs, meta) "
-    "SELECT q, ROUND(CASE "
-    " WHEN q*n <= 0.5 THEN (SELECT v FROM s WHERE i = 1) "
-    " WHEN q*n >= n - 0.5 THEN "
-    "  (SELECT v FROM s WHERE i = (SELECT CAST(n AS BIGINT) FROM meta)) "
-    " ELSE lo.v + (q*n - (ilo - 0.5)) * (hi.v - lo.v) END, 6) "
-    " AS value_est "
-    "FROM pos JOIN s lo ON lo.i = pos.ilo "
-    "JOIN s hi ON hi.i = pos.ilo + 1 ORDER BY q"
-)
+# Hazen midpoint-interpolation quantiles — the exact regime shared by
+# BOTH quantile sketches: sorted v_1..v_n at cumulative positions
+# i-0.5, target q*n, clamped to the extremes; unit-width segments
+# make the interpolation arithmetic identical to numpy.interp's.
+# KLL reaches this regime when k > n (no level-0 compaction, weights
+# all 1); t-digest when compression > pi*n/2 (the k1 scale allows no
+# centroid absorption anywhere, so every centroid stays a singleton).
+def _hazen_quantile_sql(table: str, col: str, qs: list[float]) -> str:
+    qvals = ", ".join(f"({q})" for q in qs)
+    return (
+        f"WITH s AS (SELECT CAST({col} AS DOUBLE) AS v, "
+        f" ROW_NUMBER() OVER (ORDER BY {col}) AS i FROM {table}), "
+        "meta AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM s), "
+        f"qs(q) AS (VALUES {qvals}), "
+        "pos AS (SELECT q, n, "
+        " CAST(LEAST(GREATEST(FLOOR(q*n + 0.5), 1), n - 1) AS BIGINT) AS ilo "
+        " FROM qs, meta) "
+        "SELECT q, ROUND(CASE "
+        " WHEN q*n <= 0.5 THEN (SELECT v FROM s WHERE i = 1) "
+        " WHEN q*n >= n - 0.5 THEN "
+        "  (SELECT v FROM s WHERE i = (SELECT CAST(n AS BIGINT) FROM meta)) "
+        " ELSE lo.v + (q*n - (ilo - 0.5)) * (hi.v - lo.v) END, 6) "
+        " AS value_est "
+        "FROM pos JOIN s lo ON lo.i = pos.ilo "
+        "JOIN s hi ON hi.i = pos.ilo + 1 ORDER BY q"
+    )
+
+
+_KLL_EXACT_SQL = _hazen_quantile_sql("documents", "n_chars",
+                                     [0.25, 0.5, 0.75, 0.95])
+_TDIGEST_EXACT_SQL = _hazen_quantile_sql("events", "value",
+                                         [0.25, 0.5, 0.75, 0.95])
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1071,9 +1104,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
         ),
         "nchars_quantiles_kll_exact": _KLL_EXACT_SQL,
+        "value_quantiles_tdigest_exact": _TDIGEST_EXACT_SQL,
         # value_quantiles_tdigest / nchars_quantiles_kll /
         # simhash_dedup_pairs / lang_id_counts / scaling_remove_stream:
         # approximate or heuristic — intentionally no SQL oracle
         # (rows-only check); bounds and brute-force parity asserted in
-        # tests/.
+        # tests/, and each has an exact-regime or degenerate sibling
+        # above that IS hash-checked (tdigest_exact, kll_exact,
+        # simhash_pairs_exact).
     }
