@@ -132,6 +132,21 @@ def test_scaling_remove_stream_semantics(entrymod):
         again.sort_values("event_id").reset_index(drop=True))
 
 
+def test_tdigest_exact_regime_is_singleton(con):
+    """Pin the premise of value_quantiles_tdigest_exact's oracle: at
+    compression 10^6 > pi*n/2 the k1 scale function admits NO
+    absorption, so after compress every centroid is a weight-1
+    singleton and quantile() is exactly Hazen interpolation."""
+    from dabloomray.sketches.tdigest import TDigest
+
+    vals = con.sql("SELECT value FROM events").df()["value"].to_numpy()
+    td = TDigest(1_000_000)
+    td.add(vals)
+    td._flush()
+    assert len(td.means) == len(vals)
+    assert (td.weights == 1.0).all()
+
+
 def test_tdigest_quantiles_within_rank_bound(entrymod, con):
     out = entrymod.queries()["value_quantiles_tdigest"](SF).to_pandas()
     values = con.sql("SELECT value FROM events").df()["value"].to_numpy()
