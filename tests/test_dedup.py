@@ -220,6 +220,24 @@ def test_minlabel_components_long_chain(ray_session):
     assert 999 not in labels
 
 
+def test_minlabel_pointer_jump_beats_diameter(ray_session):
+    """Pointer jumping makes convergence O(log d), not O(d): a
+    200-node path (diameter 199) must fully collapse to label 0
+    within 12 rounds — plain propagation would need 199."""
+    import ray.data as rd
+
+    from dabloomray.pipelines.dedup import minlabel_components
+
+    edges = [(i, i + 1) for i in range(199)]
+    ds = rd.from_arrow(pa.table({
+        "left_id": pa.array([a for a, _ in edges], pa.int64()),
+        "right_id": pa.array([b for _, b in edges], pa.int64()),
+    }))
+    labels = {r["node"]: r["label"]
+              for r in minlabel_components(ds, max_rounds=12).take_all()}
+    assert all(labels[i] == 0 for i in range(200))
+
+
 def test_keep_first_distributed_equals_driver(ray_session):
     """method='distributed' (min-label + anti-join, zero driver
     collection) keeps exactly the same survivors as the union-find
