@@ -1,0 +1,221 @@
+"""Pure-numpy codecs for UNCOMPRESSED media formats — REAL decoders,
+no external libraries.
+
+The sandbox has no PIL/ffmpeg, but nothing stops honest decoding of
+the uncompressed public formats: netpbm **P6 PPM** (binary RGB),
+**24-bit BI_RGB BMP** (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up
+BGR rows padded to 4 bytes), and **PCM-16 RIFF/WAVE**.  Each decoder
+parses the real header and returns numpy arrays; matching encoders
+exist so tests can round-trip.  Compressed formats (JPEG/PNG/MP3/MP4)
+still require the absent libraries — `sniff` returns None for them
+and the multimodal stages fall back to their loudly-marked fakes.
+
+Format references (public): netpbm man pages (ppm(5)); Windows BMP
+file format docs; RIFF/WAVE multimedia programming interface spec.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# sniffing
+# ---------------------------------------------------------------------------
+
+
+def sniff(buf: bytes) -> str | None:
+    """Identify a decodable uncompressed format, else None."""
+    if buf[:2] == b"P6":
+        return "ppm"
+    if buf[:2] == b"BM":
+        return "bmp"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# PPM (netpbm P6, maxval <= 255)
+# ---------------------------------------------------------------------------
+
+
+def _ppm_header(buf: bytes) -> tuple[int, int, int, int]:
+    """Parse the P6 header → (width, height, maxval, data_offset).
+    Tokens are whitespace-separated; '#' starts a comment to EOL; a
+    single whitespace byte separates maxval from the raster."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, tokens = 2, []
+    n = len(buf)
+    while len(tokens) < 3:
+        while pos < n and buf[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and buf[pos : pos + 1] == b"#":
+            while pos < n and buf[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not buf[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(buf[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    return w, h, maxval, pos
+
+
+def ppm_dims(buf: bytes) -> tuple[int, int, int]:
+    """(height, width, n_channels) from the header alone — no raster
+    read (what ImageDecode needs)."""
+    w, h, _, _ = _ppm_header(buf)
+    return h, w, 3
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """P6 raster → (h, w, 3) uint8."""
+    w, h, _, off = _ppm_header(buf)
+    need = w * h * 3
+    raster = np.frombuffer(buf, dtype=np.uint8, count=need, offset=off)
+    return raster.reshape(h, w, 3).copy()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit BI_RGB, BITMAPINFOHEADER)
+# ---------------------------------------------------------------------------
+
+
+def bmp_dims(buf: bytes) -> tuple[int, int, int]:
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    w = struct.unpack_from("<i", buf, 18)[0]
+    h = struct.unpack_from("<i", buf, 22)[0]
+    return abs(h), w, 3
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (h, w, 3) uint8 RGB.  Handles the
+    standard bottom-up row order (positive height) and the 4-byte row
+    padding; rejects compressed / non-24-bit files."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    w = struct.unpack_from("<i", buf, 18)[0]
+    h = struct.unpack_from("<i", buf, 22)[0]
+    bitcount = struct.unpack_from("<H", buf, 28)[0]
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if bitcount != 24 or compression != 0:
+        raise ValueError("only 24-bit BI_RGB BMP supported")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(buf, dtype=np.uint8, count=h * stride,
+                         offset=data_off).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        img = img[::-1]
+    return img[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    assert c == 3
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return header + info + data
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/WAVE, PCM 16-bit)
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """PCM-16 WAV → ((n_samples, n_channels) int16, sample_rate).
+    Walks RIFF chunks (fmt before data, extra chunks tolerated)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, n = 12, len(buf)
+    rate = channels = None
+    samples = None
+    while pos + 8 <= n:
+        cid, csize = struct.unpack_from("<4sI", buf, pos)
+        pos += 8
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", buf, pos)
+            bits = struct.unpack_from("<H", buf, pos + 14)[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError("only PCM-16 WAV supported")
+        elif cid == b"data":
+            if channels is None:
+                raise ValueError("data chunk before fmt")
+            count = csize // 2
+            flat = np.frombuffer(buf, dtype="<i2", count=count, offset=pos)
+            samples = flat.reshape(-1, channels).copy()
+        pos += csize + (csize & 1)  # chunks are word-aligned
+    if samples is None or rate is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples, int(rate)
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    samples = np.asarray(samples, dtype="<i2")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    channels = samples.shape[1]
+    data = np.ascontiguousarray(samples).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+# ---------------------------------------------------------------------------
+# raster ops
+# ---------------------------------------------------------------------------
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbour resize via integer index gather (the classic
+    sample-at-pixel-centres mapping: src = floor((i + 0.5) * in/out))."""
+    h, w = img.shape[:2]
+    rows = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64),
+                      h - 1)
+    cols = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64),
+                      w - 1)
+    return img[rows[:, None], cols[None, :]]
+
+
+def image_features(img: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Real, deterministic image descriptor: per-channel mean and std
+    (6) + a normalized gray histogram filling the remaining dim-6
+    bins.  float32, content-derived — identical bytes ⇒ identical
+    features, so the descriptor composes with the cosine near-dup
+    pipelines."""
+    f = np.empty(dim, dtype=np.float32)
+    x = img.reshape(-1, img.shape[-1]).astype(np.float64)
+    f[0:3] = x.mean(axis=0) / 255.0
+    f[3:6] = x.std(axis=0) / 255.0
+    gray = x.mean(axis=1)
+    hist, _ = np.histogram(gray, bins=dim - 6, range=(0.0, 255.0))
+    f[6:] = hist / max(1, len(gray))
+    return f

@@ -1,14 +1,20 @@
-"""Multimodal (image/audio/video) stages — Ray-side plumbing is real,
-decode kernels are STUBBED.
+"""Multimodal (image/audio/video) stages.
 
 Media rides as opaque ``binary`` columns with typed metadata, processed
 by actor-pool ``map_batches`` stages with small batch sizes (large
 payloads: size batch_size so batch x concurrency fits worker heap).
-The decode libraries (PIL/torchaudio/ffmpeg) are NOT in this
-environment, so each kernel either uses the real library if importable
-or falls back to a DETERMINISTIC FAKE (pure function of the bytes) that
-preserves schema, determinism and batch shape — swap ``_fake_*`` for
-real decoders when the libs exist.  Fakes are marked loudly.
+
+Decode reality, format by format:
+- **REAL, no libraries needed** (``stages/codecs.py`` pure-numpy
+  parsers): P6 PPM and 24-bit BMP images (decode, resize, features),
+  PCM-16 WAV audio (decode, rms/zero-crossing features), and
+  concatenated-P6 "video" streams (frame sampling).
+- **Real when the library exists**: PIL is used for other image
+  formats if importable (it is not in this environment).
+- **STUB otherwise**: compressed formats (JPEG/PNG/MP4...) without
+  PIL/ffmpeg fall back to a DETERMINISTIC FAKE (pure function of the
+  bytes) that preserves schema, determinism and batch shape — marked
+  loudly, swap in the real decoder when the lib exists.
 """
 
 from __future__ import annotations
@@ -17,12 +23,33 @@ import numpy as np
 import pyarrow as pa
 
 from ..hashing import murmur3_x64_128_batch
+from .codecs import (
+    _ppm_header,
+    bmp_dims,
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    image_features,
+    ppm_dims,
+    resize_nearest,
+    sniff,
+)
 
 IMAGE_META_SCHEMA = [
     ("height", pa.int32()),
     ("width", pa.int32()),
     ("n_channels", pa.int32()),
 ]
+
+
+def _decode_image(blob: bytes) -> np.ndarray | None:
+    kind = sniff(blob)
+    if kind == "ppm":
+        return decode_ppm(blob)
+    if kind == "bmp":
+        return decode_bmp(blob)
+    return None
 
 
 def _fake_dims(blobs) -> tuple[np.ndarray, np.ndarray]:
@@ -34,66 +61,200 @@ def _fake_dims(blobs) -> tuple[np.ndarray, np.ndarray]:
 
 
 class ImageDecode:
-    """binary → (height, width, n_channels).  Real path: PIL; fake
-    path: content-hash dims (see module docstring)."""
+    """binary → (height, width, n_channels).
+
+    REAL for PPM/BMP (header parse only — the raster is never read,
+    so this stage is cheap even for large images), PIL when
+    importable for other formats, deterministic hash-dims FAKE
+    otherwise (see module docstring)."""
 
     def __init__(self, content_col: str = "content"):
         self.content_col = content_col
-        try:
+        try:  # pragma: no cover - lib absent in this environment
             from PIL import Image  # noqa: F401
 
             self.pil = Image
         except ImportError:
-            self.pil = None  # STUB MODE
+            self.pil = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch.column(self.content_col)
-        if self.pil is not None:  # pragma: no cover - lib absent here
-            import io
+        height = np.empty(len(batch), np.int32)
+        width = np.empty(len(batch), np.int32)
+        chans = np.full(len(batch), 3, np.int32)
+        fake_idx = []
+        for i, b in enumerate(blobs):
+            blob = b.as_py() or b""
+            kind = sniff(blob)
+            if kind == "ppm":
+                height[i], width[i], chans[i] = ppm_dims(blob)
+            elif kind == "bmp":
+                height[i], width[i], chans[i] = bmp_dims(blob)
+            elif self.pil is not None:  # pragma: no cover
+                import io
 
-            dims = [self.pil.open(io.BytesIO(b.as_py())).size
-                    for b in blobs]
-            width = np.array([d[0] for d in dims], np.int32)
-            height = np.array([d[1] for d in dims], np.int32)
-        else:
-            height, width = _fake_dims(blobs)
+                w, h = self.pil.open(io.BytesIO(blob)).size
+                height[i], width[i] = h, w
+            else:
+                fake_idx.append(i)
+        if fake_idx:  # STUB path for undecodable formats
+            sub = blobs.take(pa.array(fake_idx))
+            fh, fw = _fake_dims(sub)
+            height[fake_idx] = fh
+            width[fake_idx] = fw
         batch = batch.append_column("height", pa.array(height, pa.int32()))
         batch = batch.append_column("width", pa.array(width, pa.int32()))
-        return batch.append_column(
-            "n_channels", pa.array(np.full(len(batch), 3, np.int32)))
+        return batch.append_column("n_channels", pa.array(chans, pa.int32()))
+
+
+class ImageResize:
+    """binary → resized binary (always re-encoded as P6 PPM).
+
+    REAL nearest-neighbour resize for decodable images; undecodable
+    blobs pass through unchanged with ``resized_ok=False`` (no fake
+    pixels are invented)."""
+
+    def __init__(self, out_h: int, out_w: int, content_col: str = "content",
+                 out_col: str = "resized"):
+        self.out_h = out_h
+        self.out_w = out_w
+        self.content_col = content_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out, ok = [], []
+        for b in batch.column(self.content_col):
+            blob = b.as_py() or b""
+            img = _decode_image(blob)
+            if img is None:
+                out.append(blob)
+                ok.append(False)
+            else:
+                out.append(encode_ppm(resize_nearest(img, self.out_h,
+                                                     self.out_w)))
+                ok.append(True)
+        batch = batch.append_column(self.out_col, pa.array(out, pa.binary()))
+        return batch.append_column("resized_ok", pa.array(ok, pa.bool_()))
 
 
 class ImageFeatures:
-    """binary → embedding list<float32> (model inference slot).
+    """binary → features list<float32>[dim].
 
-    Real path would load a vision model ONCE in __init__ and run
-    batched inference in __call__; here the model is a DETERMINISTIC
-    FAKE (hash-seeded vector) with the same schema/actor lifecycle."""
+    REAL content descriptor for decodable images (per-channel mean/std
+    + gray histogram, ``codecs.image_features``); deterministic
+    hash-seeded FAKE vector for undecodable blobs (model-inference
+    slot: a real vision model would load ONCE here in __init__ and
+    batch-infer in __call__ — same schema, same actor lifecycle).
+    Either way identical bytes ⇒ identical features, so the stage
+    composes with the cosine near-dup/ANN pipelines."""
 
     def __init__(self, content_col: str = "content", dim: int = 16):
         self.content_col = content_col
         self.dim = dim
-        # real: self.model = load_model(...)  (once per actor)
+        # real model slot: self.model = load_model(...)  (once per actor)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..fixtures import splitmix64
 
-        h1, _ = murmur3_x64_128_batch(batch.column(self.content_col), seed=5)
-        idx = (h1[:, None] * np.uint64(31)
-               + np.arange(self.dim, dtype=np.uint64)[None, :])
-        with np.errstate(over="ignore"):
-            vals = splitmix64(17, idx.ravel()).astype(np.float64) / 2.0 ** 64
-        feats = vals.reshape(len(batch), self.dim).astype(np.float32)
+        blobs = batch.column(self.content_col)
+        feats = np.empty((len(batch), self.dim), dtype=np.float32)
+        fake_idx = []
+        for i, b in enumerate(blobs):
+            blob = b.as_py() or b""
+            img = _decode_image(blob)
+            if img is None:
+                fake_idx.append(i)
+            else:
+                feats[i] = image_features(img, self.dim)
+        if fake_idx:  # STUB path for undecodable formats
+            sub = blobs.take(pa.array(fake_idx))
+            h1, _ = murmur3_x64_128_batch(sub, seed=5)
+            idx = (h1[:, None] * np.uint64(31)
+                   + np.arange(self.dim, dtype=np.uint64)[None, :])
+            with np.errstate(over="ignore"):
+                vals = splitmix64(17, idx.ravel()).astype(np.float64) / 2.0 ** 64
+            feats[fake_idx] = vals.reshape(len(fake_idx),
+                                           self.dim).astype(np.float32)
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.ravel(), pa.float32()), self.dim)
         return batch.append_column("features", col)
 
 
+class AudioDecode:
+    """binary → (n_samples, sample_rate, duration_s, rms, zcr).
+
+    REAL PCM-16 WAV decode (``codecs.decode_wav``) with two classic
+    audio features: root-mean-square level (normalized to [0,1]) and
+    zero-crossing rate of the first channel.  Undecodable blobs get
+    nulls — no fake audio is invented."""
+
+    def __init__(self, content_col: str = "content"):
+        self.content_col = content_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        n_samples = np.zeros(n, np.int64)
+        rate = np.zeros(n, np.int32)
+        dur = np.zeros(n, np.float64)
+        rms = np.zeros(n, np.float64)
+        zcr = np.zeros(n, np.float64)
+        ok = np.zeros(n, bool)
+        for i, b in enumerate(batch.column(self.content_col)):
+            blob = b.as_py() or b""
+            if sniff(blob) != "wav":
+                continue
+            samples, r = decode_wav(blob)
+            x = samples[:, 0].astype(np.float64) / 32768.0
+            n_samples[i] = len(samples)
+            rate[i] = r
+            dur[i] = len(samples) / r if r else 0.0
+            rms[i] = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+            zcr[i] = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) \
+                if len(x) > 1 else 0.0
+            ok[i] = True
+        valid = pa.array(ok)
+        batch = batch.append_column(
+            "n_samples", pa.array(n_samples, pa.int64()))
+        batch = batch.append_column("sample_rate", pa.array(rate, pa.int32()))
+        batch = batch.append_column("duration_s", pa.array(dur, pa.float64()))
+        batch = batch.append_column("rms", pa.array(rms, pa.float64()))
+        batch = batch.append_column("zcr", pa.array(zcr, pa.float64()))
+        return batch.append_column("audio_ok", valid)
+
+
+def _split_ppm_stream(blob: bytes) -> list[tuple[int, int]]:
+    """Frame (offset, length) list for a concatenation of P6 images —
+    each header states its raster size, so the walk is exact (no magic
+    scanning).  Returns [] unless the blob starts with P6 and frames
+    tile it completely."""
+    frames, pos, n = [], 0, len(blob)
+    while pos < n:
+        if blob[pos : pos + 2] != b"P6":
+            return []
+        try:
+            w, h, _, off = _ppm_header(blob[pos:])
+        except ValueError:
+            return []
+        flen = off + w * h * 3
+        if pos + flen > n:
+            return []
+        frames.append((pos, flen))
+        pos += flen
+    return frames
+
+
 class FrameSample:
     """video binary → flat table of sampled frame rows
-    (media_id, frame_idx, frame: binary).  Fan-out stage: one input row
-    becomes ``n_frames`` output rows — schema plumbing for a real
-    ffmpeg-based sampler (STUB: frames are hash-sliced byte windows)."""
+    (media_id, frame_idx, frame: binary).  Fan-out stage: one input
+    row becomes up to ``n_frames`` output rows.
+
+    REAL for concatenated-P6 streams (netpbm files concatenate
+    losslessly): the frame table is walked exactly from the headers
+    and ``n_frames`` frames are sampled evenly, ``frame_idx`` = the
+    SOURCE frame index, each output frame a valid standalone PPM.
+    Container formats (MP4 etc.) need the absent ffmpeg — STUB:
+    hash-sliced byte windows with synthetic indices 0..n_frames-1,
+    same schema."""
 
     def __init__(self, id_col: str = "media_id",
                  content_col: str = "content", n_frames: int = 4):
@@ -107,6 +268,18 @@ class FrameSample:
         out_ids, out_idx, frames = [], [], []
         for mid, blob in zip(ids, blobs):
             blob = blob or b""
+            spans = _split_ppm_stream(blob)
+            if spans:  # REAL path
+                take = np.unique(np.linspace(0, len(spans) - 1,
+                                             min(self.n_frames, len(spans)),
+                                             dtype=np.int64))
+                for fi in take:
+                    off, flen = spans[fi]
+                    out_ids.append(int(mid))
+                    out_idx.append(int(fi))
+                    frames.append(blob[off : off + flen])
+                continue
+            # STUB path (no container demuxer in this environment)
             step = max(1, len(blob) // self.n_frames)
             for f in range(self.n_frames):
                 out_ids.append(int(mid))

@@ -1,10 +1,139 @@
-"""Multimodal stub stages: real Arrow/actor plumbing, deterministic
-fake kernels (libs absent in this environment)."""
+"""Multimodal stages: REAL pure-numpy codecs for uncompressed formats
+(P6 PPM / 24-bit BMP / PCM-16 WAV / concatenated-P6 streams) plus the
+deterministic-fake fallbacks for compressed formats (libs absent)."""
 
 import numpy as np
 import pyarrow as pa
 
-from dabloomray.stages.multimodal import FrameSample, ImageDecode, ImageFeatures
+from dabloomray.stages.codecs import (
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    image_features,
+    resize_nearest,
+    sniff,
+)
+from dabloomray.stages.multimodal import (
+    AudioDecode,
+    FrameSample,
+    ImageDecode,
+    ImageFeatures,
+    ImageResize,
+)
+
+
+def gradient_img(h, w, seed=0):
+    r = (np.arange(h)[:, None] + np.zeros(w, int)[None, :] + seed) % 256
+    g = (np.arange(w)[None, :] + np.zeros(h, int)[:, None] + 2 * seed) % 256
+    b = (r + g) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def test_ppm_roundtrip_and_comment_header():
+    img = gradient_img(13, 17)
+    buf = encode_ppm(img)
+    assert sniff(buf) == "ppm"
+    assert np.array_equal(decode_ppm(buf), img)
+    # header with a comment line (valid netpbm)
+    buf2 = b"P6\n# a comment\n17 13\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(buf2), img)
+
+
+def test_bmp_roundtrip_with_row_padding():
+    img = gradient_img(9, 5)  # width 5 -> 15-byte rows, padded to 16
+    buf = encode_bmp(img)
+    assert sniff(buf) == "bmp"
+    assert np.array_equal(decode_bmp(buf), img)
+
+
+def test_wav_roundtrip_stereo():
+    t = np.arange(800)
+    samples = np.stack([(1000 * np.sin(t / 10)).astype(np.int16),
+                        (500 * np.cos(t / 7)).astype(np.int16)], axis=1)
+    buf = encode_wav(samples, 8000)
+    assert sniff(buf) == "wav"
+    out, rate = decode_wav(buf)
+    assert rate == 8000
+    assert np.array_equal(out, samples)
+
+
+def test_resize_nearest_identity_and_downscale():
+    img = gradient_img(16, 16)
+    assert np.array_equal(resize_nearest(img, 16, 16), img)
+    half = resize_nearest(img, 8, 8)
+    assert half.shape == (8, 8, 3)
+    # nearest with centre mapping picks pixel floor((i+0.5)*2) = 2i+1
+    assert np.array_equal(half, img[1::2, 1::2])
+
+
+def test_image_decode_real_dims_for_ppm_and_bmp():
+    img = gradient_img(21, 34)
+    t = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "content": pa.array([encode_ppm(img), encode_bmp(img)], pa.binary()),
+    })
+    out = ImageDecode()(t)
+    assert out.column("height").to_pylist() == [21, 21]
+    assert out.column("width").to_pylist() == [34, 34]
+    assert out.column("n_channels").to_pylist() == [3, 3]
+
+
+def test_image_resize_stage_real_and_passthrough():
+    img = gradient_img(20, 30, seed=3)
+    t = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "content": pa.array([encode_ppm(img), b"\xff\xd8 not decodable"],
+                            pa.binary()),
+    })
+    out = ImageResize(10, 15)(t)
+    assert out.column("resized_ok").to_pylist() == [True, False]
+    resized = decode_ppm(out.column("resized")[0].as_py())
+    assert resized.shape == (10, 15, 3)
+    assert np.array_equal(resized, resize_nearest(img, 10, 15))
+
+
+def test_image_features_real_for_constant_image():
+    img = np.full((8, 8, 3), 128, np.uint8)
+    t = pa.table({"media_id": pa.array([0], pa.int64()),
+                  "content": pa.array([encode_ppm(img)], pa.binary())})
+    f = np.asarray(ImageFeatures(dim=16)(t).column("features").to_pylist()[0])
+    assert np.allclose(f[0:3], 128 / 255.0)  # per-channel means
+    assert np.allclose(f[3:6], 0.0)          # constant -> zero std
+    assert np.isclose(f[6:].sum(), 1.0)      # histogram normalized
+    assert np.allclose(f, image_features(img, 16))
+
+
+def test_audio_decode_real_wav():
+    tone = (10000 * np.sin(np.arange(16000) / 5)).astype(np.int16)
+    t = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "content": pa.array([encode_wav(tone, 16000), b"mp3junk"],
+                            pa.binary()),
+    })
+    out = AudioDecode()(t)
+    assert out.column("audio_ok").to_pylist() == [True, False]
+    assert out.column("n_samples")[0].as_py() == 16000
+    assert out.column("sample_rate")[0].as_py() == 16000
+    assert abs(out.column("duration_s")[0].as_py() - 1.0) < 1e-9
+    # sine rms = amp/sqrt(2); amp = 10000/32768
+    assert abs(out.column("rms")[0].as_py()
+               - (10000 / 32768) / np.sqrt(2)) < 0.01
+
+
+def test_frame_sample_real_ppm_stream():
+    frames = [gradient_img(6, 7, seed=s) for s in range(10)]
+    stream = b"".join(encode_ppm(f) for f in frames)
+    t = pa.table({"media_id": pa.array([42], pa.int64()),
+                  "content": pa.array([stream], pa.binary())})
+    out = FrameSample(n_frames=4)(t)
+    assert out.num_rows == 4
+    assert out.column("frame_idx").to_pylist() == [0, 3, 6, 9]
+    for row_i, src_i in enumerate([0, 3, 6, 9]):
+        got = decode_ppm(out.column("frame")[row_i].as_py())
+        assert np.array_equal(got, frames[src_i])
 
 
 def media_table(n=20):
