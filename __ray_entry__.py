@@ -818,6 +818,46 @@ def _q_docs_shingle_fingerprint(sf_dir: str):
     return out.select_columns(["doc_id", "shingle_min"])
 
 
+def _q_docs_as_images_dims(sf_dir: str):
+    """Real multimodal round-trip with an EXACT SQL oracle: each doc
+    is rendered into an actual P6 PPM byte payload whose dimensions
+    are pure arithmetic of (doc_id, n_chars); the distributed
+    ImageDecode stage then parses the REAL headers back (no fakes —
+    stages/codecs.py pure-numpy netpbm parser).  The oracle computes
+    the same arithmetic directly, so a hash-match proves the encode →
+    binary column → actor-pool decode path reproduces dims exactly."""
+    from dabloomray.stages.codecs import encode_ppm
+    from dabloomray.stages.multimodal import ImageDecode
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        nc = t.column("n_chars").to_numpy()
+        heights = nc % 29 + 4
+        widths = ids % 31 + 4
+        blobs = []
+        for h, w in zip(heights, widths):
+            img = ((np.arange(int(h))[:, None] + np.arange(int(w))[None, :])
+                   % 256).astype(np.uint8)
+            blobs.append(encode_ppm(np.repeat(img[:, :, None], 3, axis=2)))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "content": pa.array(blobs, pa.binary())})
+
+    media = docs.map_batches(synth, batch_format="pyarrow")
+    out = media.map_batches(ImageDecode, batch_format="pyarrow",
+                            concurrency=(1, 4))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "height": t.column("height").cast(pa.int64()),
+            "width": t.column("width").cast(pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_docs_hash_sample(sf_dir: str):
     """Deterministic hash-Bernoulli sample (SURVEY.md §2.6 sampling):
     keep docs with murmur64(text) below 20% of the hash space —
@@ -869,6 +909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_by_region": _q_customers_by_region,
         "docs_hash_sample": _q_docs_hash_sample,
         "docs_shingle_fingerprint": _q_docs_shingle_fingerprint,
+        "docs_as_images_dims": _q_docs_as_images_dims,
         "near_dedup_threshold1": _q_near_dedup_threshold1,
         "big_purchasers_without_big_error": _q_big_purchasers_without_big_error,
         "big_purchasers_with_big_error": _q_big_purchasers_with_big_error,
@@ -1105,6 +1146,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "nchars_quantiles_kll_exact": _KLL_EXACT_SQL,
         "value_quantiles_tdigest_exact": _TDIGEST_EXACT_SQL,
+        "docs_as_images_dims": (
+            "SELECT doc_id, n_chars % 29 + 4 AS height, "
+            "doc_id % 31 + 4 AS width FROM documents"
+        ),
         # value_quantiles_tdigest / nchars_quantiles_kll /
         # simhash_dedup_pairs / lang_id_counts / scaling_remove_stream:
         # approximate or heuristic — intentionally no SQL oracle
