@@ -813,11 +813,16 @@ def simhash_dedup(ds, id_col: str, text_col: str, max_hamming: int = 3,
     bands = sh_ds.map_batches(explode_chunks, batch_format="pyarrow")
 
     def pairs(group: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = group.to_pandas().drop_duplicates("doc_id").sort_values("doc_id")
-        ids = df["doc_id"].to_numpy()
-        sh = df["simhash"].to_numpy().view(np.uint64)
+        # numpy-only dedup+sort: this fn runs once PER BUCKET, so a
+        # per-call pandas conversion would dominate on many small
+        # buckets
+        ids = group.column("doc_id").to_numpy()
+        sh = group.column("simhash").to_numpy().view(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, sh = ids[order], sh[order]
+        first = np.ones(len(ids), dtype=bool)
+        first[1:] = ids[1:] != ids[:-1]
+        ids, sh = ids[first], sh[first]
         if len(ids) < 2:
             return pa.table({"left_id": pa.array([], pa.int64()),
                              "right_id": pa.array([], pa.int64()),
