@@ -274,3 +274,39 @@ def test_pairwise_jaccard_hashes_equals_scalar(pairs, n):
     got = pairwise_jaccard_hashes(lh, lc, rh, rc)
     want = np.array([jaccard(a, b, n) for a, b in pairs], dtype=np.float64)
     assert np.allclose(got, want, atol=0)
+
+
+@settings(max_examples=40, deadline=None)
+@given(h=st.integers(min_value=1, max_value=24),
+       w=st.integers(min_value=1, max_value=24),
+       seed=st.integers(min_value=0, max_value=2**32 - 1))
+def test_codec_image_roundtrips(h, w, seed):
+    """PPM and BMP encode→decode are lossless for any uint8 RGB image
+    (BMP exercises row padding at every width mod 4)."""
+    from dabloomray.stages.codecs import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(n=st.integers(min_value=1, max_value=500),
+       channels=st.integers(min_value=1, max_value=3),
+       rate=st.sampled_from([8000, 16000, 44100]),
+       seed=st.integers(min_value=0, max_value=2**32 - 1))
+def test_codec_wav_roundtrip(n, channels, rate, seed):
+    """PCM-16 WAV encode→decode is lossless for any int16 signal."""
+    from dabloomray.stages.codecs import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-2**15, 2**15, (n, channels)).astype(np.int16)
+    out, got_rate = decode_wav(encode_wav(samples, rate))
+    assert got_rate == rate
+    assert np.array_equal(out, samples)
