@@ -82,6 +82,43 @@ def webtext_pipeline(
     return out
 
 
+def webtext_neardup_pipeline(
+    input_path: str,
+    out_dir: str | None = None,
+    policy: ScalingPolicy | None = None,
+    num_partitions: int = 32,
+    override_num_blocks: int | None = None,
+    threshold: float = 0.8,
+    **lsh_kwargs,
+):
+    """The full LLM-training-data composition: exact URL dedup (cheap,
+    hash-only shuffle, BEFORE extraction) → html→text extraction →
+    token/quality stats → fingerprints → CONTENT near-dedup
+    (MinHash-LSH → verified pairs → min-label components → keep the
+    earliest seq per cluster).  The two dedups answer different
+    questions — same page fetched twice vs the same content hosted on
+    different urls — and their order is the cost-correct one at 100
+    TB: url-dups never pay extraction, and the expensive near-dup
+    banding runs only on surviving extracted text.
+
+    Fully distributed end-to-end (the near-dup stage inherits the
+    no-driver-corpus guarantees of ``near_dedup_keep_first``).
+    Returns the surviving Dataset (written to ``out_dir`` when
+    given)."""
+    from .dedup import near_dedup_keep_first
+
+    base = webtext_pipeline(input_path, out_dir=None, policy=policy,
+                            num_partitions=num_partitions,
+                            override_num_blocks=override_num_blocks)
+    out = near_dedup_keep_first(base, "seq_id", "text",
+                                threshold=threshold,
+                                num_partitions=max(8, num_partitions // 4),
+                                **lsh_kwargs)
+    if out_dir is not None:
+        out.write_parquet(out_dir)
+    return out
+
+
 def webtext_pipeline_resumable(
     input_path: str,
     out_dir: str,

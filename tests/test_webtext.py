@@ -8,7 +8,10 @@ import pytest
 
 from dabloomray.fixtures import make_urls_table
 from dabloomray.params import ScalingPolicy
-from dabloomray.pipelines.webtext import webtext_pipeline
+from dabloomray.pipelines.webtext import (
+    webtext_neardup_pipeline,
+    webtext_pipeline,
+)
 
 
 @pytest.fixture(scope="module")
@@ -160,3 +163,40 @@ def test_webtext_deterministic_across_parallelism(ray_session, corpus_path,
     assert rerun.column("url").to_pylist() == outs[0].column("url").to_pylist()
     assert rerun.column("text").to_pylist() == outs[0].column("text").to_pylist()
     assert rerun.column("fp").to_pylist() == outs[0].column("fp").to_pylist()
+
+
+def test_webtext_neardup_composition(ray_session, tmp_path):
+    """Capstone composition: exact URL dedup catches refetches of the
+    same page; content near-dedup then catches the SAME content hosted
+    on DIFFERENT urls (mirror sites), keeping the earliest seq.  Both
+    dedups fully distributed."""
+    words = [f"w{i}" for i in range(40)]
+    body_a = " ".join(words)                       # base content
+    body_a2 = " ".join(words[:-1] + ["zz"])        # near-dup of a (J≈0.85)
+    body_b = " ".join(f"x{i}" for i in range(40))  # unrelated content
+    rows = [
+        # (url, ts, body): url 0 refetched at ts 3 (url-dup);
+        # mirrors of body_a at distinct urls (near-dups of seq 0)
+        ("https://a.example/p", 0, body_a),
+        ("https://b.example/p", 1, body_a),        # exact content mirror
+        ("https://c.example/p", 2, body_a2),       # near mirror
+        ("https://a.example/p", 3, body_a),        # refetch (url-dup)
+        ("https://d.example/p", 4, body_b),        # unique
+    ]
+    html = [f"<html><head><title>t</title></head><body><p>{b}</p>"
+            f"</body></html>".encode() for _, _, b in rows]
+    t = pa.table({
+        "url": pa.array([u for u, _, _ in rows], pa.string()),
+        "warc_ts": pa.array([ts for _, ts, _ in rows],
+                            pa.timestamp("us")),
+        "html": pa.array(html, pa.binary()),
+    })
+    p = str(tmp_path / "mini.parquet")
+    pq.write_table(t, p)
+    out = webtext_neardup_pipeline(
+        p, policy=ScalingPolicy(capacity0=100, target_error=0.05),
+        num_partitions=2, threshold=0.8)
+    got = sorted(r["seq_id"] for r in out.take_all())
+    # url-dedup drops seq 3 (same url as 0); near-dedup folds 1 and 2
+    # into 0's cluster; 0 and 4 survive
+    assert got == [0, 4]
