@@ -41,13 +41,16 @@ def sniff(buf: bytes) -> str | None:
 # ---------------------------------------------------------------------------
 
 
-def _ppm_header(buf: bytes) -> tuple[int, int, int, int]:
-    """Parse the P6 header → (width, height, maxval, data_offset).
-    Tokens are whitespace-separated; '#' starts a comment to EOL; a
-    single whitespace byte separates maxval from the raster."""
-    if buf[:2] != b"P6":
+def _ppm_header(buf: bytes, start: int = 0) -> tuple[int, int, int, int]:
+    """Parse the P6 header at ``buf[start:]`` → (width, height,
+    maxval, data_offset) with data_offset ABSOLUTE in ``buf``.  Tokens
+    are whitespace-separated; '#' starts a comment to EOL; a single
+    whitespace byte separates maxval from the raster.  Indexing is
+    positional (no slice of the tail), so stream walkers can call this
+    per frame without copying the remaining blob."""
+    if buf[start : start + 2] != b"P6":
         raise ValueError("not a P6 PPM")
-    pos, tokens = 2, []
+    pos, tokens = start + 2, []
     n = len(buf)
     while len(tokens) < 3:
         while pos < n and buf[pos : pos + 1].isspace():
@@ -56,16 +59,23 @@ def _ppm_header(buf: bytes) -> tuple[int, int, int, int]:
             while pos < n and buf[pos] not in (0x0A, 0x0D):
                 pos += 1
             continue
-        start = pos
+        tok_start = pos
         while pos < n and not buf[pos : pos + 1].isspace():
             pos += 1
-        if start == pos:
+        if tok_start == pos:
             raise ValueError("truncated PPM header")
-        tokens.append(int(buf[start:pos]))
+        try:
+            tokens.append(int(buf[tok_start:pos]))
+        except ValueError as ex:
+            raise ValueError(f"bad PPM header token: {ex}") from None
     pos += 1  # the single whitespace byte after maxval
     w, h, maxval = tokens
+    if w <= 0 or h <= 0:
+        raise ValueError("non-positive PPM dimensions")
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
+    if pos + w * h * 3 > n:
+        raise ValueError("truncated PPM raster")
     return w, h, maxval, pos
 
 
@@ -79,8 +89,7 @@ def ppm_dims(buf: bytes) -> tuple[int, int, int]:
 def decode_ppm(buf: bytes) -> np.ndarray:
     """P6 raster → (h, w, 3) uint8."""
     w, h, _, off = _ppm_header(buf)
-    need = w * h * 3
-    raster = np.frombuffer(buf, dtype=np.uint8, count=need, offset=off)
+    raster = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=off)
     return raster.reshape(h, w, 3).copy()
 
 
@@ -97,19 +106,22 @@ def encode_ppm(img: np.ndarray) -> bytes:
 
 
 def bmp_dims(buf: bytes) -> tuple[int, int, int]:
-    if buf[:2] != b"BM":
-        raise ValueError("not a BMP")
+    if buf[:2] != b"BM" or len(buf) < 26:
+        raise ValueError("not a BMP / truncated header")
     w = struct.unpack_from("<i", buf, 18)[0]
     h = struct.unpack_from("<i", buf, 22)[0]
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
     return abs(h), w, 3
 
 
 def decode_bmp(buf: bytes) -> np.ndarray:
     """24-bit uncompressed BMP → (h, w, 3) uint8 RGB.  Handles the
     standard bottom-up row order (positive height) and the 4-byte row
-    padding; rejects compressed / non-24-bit files."""
-    if buf[:2] != b"BM":
-        raise ValueError("not a BMP")
+    padding; rejects compressed / non-24-bit / truncated files (all
+    via ValueError — callers treat that as 'not decodable')."""
+    if buf[:2] != b"BM" or len(buf) < 54:
+        raise ValueError("not a BMP / truncated header")
     data_off = struct.unpack_from("<I", buf, 10)[0]
     w = struct.unpack_from("<i", buf, 18)[0]
     h = struct.unpack_from("<i", buf, 22)[0]
@@ -117,9 +129,13 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     compression = struct.unpack_from("<I", buf, 30)[0]
     if bitcount != 24 or compression != 0:
         raise ValueError("only 24-bit BI_RGB BMP supported")
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
     bottom_up = h > 0
     h = abs(h)
     stride = (w * 3 + 3) & ~3
+    if data_off + h * stride > len(buf):
+        raise ValueError("truncated BMP raster")
     rows = np.frombuffer(buf, dtype=np.uint8, count=h * stride,
                          offset=data_off).reshape(h, stride)
     img = rows[:, : w * 3].reshape(h, w, 3)
@@ -159,15 +175,19 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= n:
         cid, csize = struct.unpack_from("<4sI", buf, pos)
         pos += 8
+        if pos + csize > n:
+            raise ValueError("truncated WAV chunk")
         if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("short fmt chunk")
             fmt, channels, rate = struct.unpack_from("<HHI", buf, pos)
             bits = struct.unpack_from("<H", buf, pos + 14)[0]
-            if fmt != 1 or bits != 16:
+            if fmt != 1 or bits != 16 or channels < 1:
                 raise ValueError("only PCM-16 WAV supported")
         elif cid == b"data":
             if channels is None:
                 raise ValueError("data chunk before fmt")
-            count = csize // 2
+            count = csize // 2 // channels * channels  # whole frames
             flat = np.frombuffer(buf, dtype="<i2", count=count, offset=pos)
             samples = flat.reshape(-1, channels).copy()
         pos += csize + (csize & 1)  # chunks are word-aligned

@@ -19,6 +19,8 @@ Decode reality, format by format:
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pyarrow as pa
 
@@ -44,11 +46,18 @@ IMAGE_META_SCHEMA = [
 
 
 def _decode_image(blob: bytes) -> np.ndarray | None:
-    kind = sniff(blob)
-    if kind == "ppm":
-        return decode_ppm(blob)
-    if kind == "bmp":
-        return decode_bmp(blob)
+    """Decode if possible, None otherwise — a malformed or truncated
+    blob (sniff only checks magic bytes) must NEVER raise out of a
+    map_batches task: one corrupt file in a crawl batch would fail the
+    whole pipeline."""
+    try:
+        kind = sniff(blob)
+        if kind == "ppm":
+            return decode_ppm(blob)
+        if kind == "bmp":
+            return decode_bmp(blob)
+    except (ValueError, struct.error):
+        return None
     return None
 
 
@@ -85,17 +94,22 @@ class ImageDecode:
         fake_idx = []
         for i, b in enumerate(blobs):
             blob = b.as_py() or b""
-            kind = sniff(blob)
-            if kind == "ppm":
-                height[i], width[i], chans[i] = ppm_dims(blob)
-            elif kind == "bmp":
-                height[i], width[i], chans[i] = bmp_dims(blob)
-            elif self.pil is not None:  # pragma: no cover
-                import io
+            # malformed blobs (magic matches, header broken) fall to
+            # the fake path instead of raising out of the task
+            try:
+                kind = sniff(blob)
+                if kind == "ppm":
+                    height[i], width[i], chans[i] = ppm_dims(blob)
+                elif kind == "bmp":
+                    height[i], width[i], chans[i] = bmp_dims(blob)
+                elif self.pil is not None:  # pragma: no cover
+                    import io
 
-                w, h = self.pil.open(io.BytesIO(blob)).size
-                height[i], width[i] = h, w
-            else:
+                    w, h = self.pil.open(io.BytesIO(blob)).size
+                    height[i], width[i] = h, w
+                else:
+                    fake_idx.append(i)
+            except (ValueError, struct.error, OSError):
                 fake_idx.append(i)
         if fake_idx:  # STUB path for undecodable formats
             sub = blobs.take(pa.array(fake_idx))
@@ -201,9 +215,12 @@ class AudioDecode:
         ok = np.zeros(n, bool)
         for i, b in enumerate(batch.column(self.content_col)):
             blob = b.as_py() or b""
-            if sniff(blob) != "wav":
-                continue
-            samples, r = decode_wav(blob)
+            try:
+                if sniff(blob) != "wav":
+                    continue
+                samples, r = decode_wav(blob)
+            except (ValueError, struct.error):
+                continue  # malformed WAV → audio_ok stays False
             x = samples[:, 0].astype(np.float64) / 32768.0
             n_samples[i] = len(samples)
             rate[i] = r
@@ -232,14 +249,16 @@ def _split_ppm_stream(blob: bytes) -> list[tuple[int, int]]:
         if blob[pos : pos + 2] != b"P6":
             return []
         try:
-            w, h, _, off = _ppm_header(blob[pos:])
+            # positional parse — no copy of the remaining blob, so the
+            # walk is O(frames), not O(bytes x frames)
+            w, h, _, off = _ppm_header(blob, pos)
         except ValueError:
             return []
-        flen = off + w * h * 3
-        if pos + flen > n:
+        end = off + w * h * 3  # off is absolute
+        if end > n:
             return []
-        frames.append((pos, flen))
-        pos += flen
+        frames.append((pos, end - pos))
+        pos = end
     return frames
 
 

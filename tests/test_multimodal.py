@@ -206,3 +206,40 @@ def test_stages_compose_in_ray_pipeline(ray_session):
     got = out.take_all()
     assert len(got) == 40
     assert len(got[0]["features"]) == 16
+
+
+def test_malformed_blobs_never_raise():
+    """A corrupt blob whose magic bytes match must fall back (fake
+    dims / pass-through / audio_ok=False), never raise out of the
+    stage — one bad file in a crawl batch must not kill the task."""
+    bad = [
+        b"P6garbage header",                 # bad PPM tokens
+        b"P6\n5 5\n255\nshort",              # truncated PPM raster
+        b"BM" + b"\x00" * 10,                # truncated BMP header
+        encode_bmp(gradient_img(4, 4))[:30], # truncated BMP mid-header
+        b"RIFF\x10\x00\x00\x00WAVEjunk",     # WAV with garbage chunks
+        # IEEE-float WAV (fmt=3): valid file, unsupported variant
+        b"RIFF\x2a\x00\x00\x00WAVEfmt \x12\x00\x00\x00\x03\x00\x01\x00"
+        + b"\x00" * 14 + b"data\x00\x00\x00\x00",
+        b"",
+    ]
+    t = pa.table({
+        "media_id": pa.array(range(len(bad)), pa.int64()),
+        "content": pa.array(bad, pa.binary()),
+    })
+    dec = ImageDecode()(t)          # fake-dims (or header dims), no raise
+    assert len(dec) == len(bad)
+    heights = dec.column("height").to_pylist()
+    # blob 3 has an INTACT header (only the raster is truncated) and
+    # ImageDecode is header-only by design → real 4x4; the rest fake
+    assert heights[3] == 4
+    assert all(64 <= h for i, h in enumerate(heights) if i != 3)
+    rez = ImageResize(4, 4)(t)      # all pass-through (resize needs raster)
+    assert rez.column("resized_ok").to_pylist() == [False] * len(bad)
+    assert rez.column("resized").to_pylist() == bad
+    feat = ImageFeatures(dim=16)(t)  # all hash-fakes, deterministic
+    assert len(feat.column("features").to_pylist()[0]) == 16
+    aud = AudioDecode()(t)           # nothing decodes, nothing raises
+    assert aud.column("audio_ok").to_pylist() == [False] * len(bad)
+    fs = FrameSample(n_frames=2)(t)  # stub slicing for all
+    assert fs.num_rows == 2 * len(bad)
