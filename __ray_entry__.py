@@ -330,7 +330,10 @@ def _q_minhash_dedup_pairs(sf_dir: str):
     bucketed text joins and the vectorized hashed-set verify must all
     agree with brute force to hash-match.  (LSH detection at J>=0.9 —
     the fixture's pair range — is deterministic and exhaustive here;
-    detection probability 1-(1-J^4)^32 > 1-1e-9.)"""
+    detection probability 1-(1-J^4)^32 > 1-1e-9.  Pair-LISTING
+    exactness additionally needs every band bucket <= max_bucket, or
+    star-linking would drop non-hub pairs the SQL contains —
+    test_fixture_lsh_buckets_under_cap pins this.)"""
     from dabloomray.pipelines.dedup import minhash_lsh_dedup
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -373,10 +376,12 @@ def _q_simhash_pairs_exact(sf_dir: str):
     driver text) drops the rare vote-collisions between DISTINCT
     texts (sf0.1 genuinely has 6 such signature aliases — the
     low-entropy word-salad fixture makes coinciding bit votes likely;
-    test_fixture_has_no_simhash_aliases documents where the raw gate
-    alone would already be exact).  Net: the whole band-explode →
+    test_fixture_simhash_aliases_documented records where the raw
+    gate alone would already be exact).  Net: the whole band-explode →
     bucket-groupby → in-bucket verify → distinct_pairs → text-join
-    stack must equal the text-equality self-join at EVERY sf."""
+    stack must equal the text-equality self-join at EVERY sf.  (Same
+    bucket-cap precondition as minhash_dedup_pairs: chunk buckets
+    must stay <= max_bucket — test_fixture_lsh_buckets_under_cap.)"""
     import pyarrow.compute as _pc
 
     from dabloomray.pipelines.dedup import attach_pair_texts, simhash_dedup
@@ -918,14 +923,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # Word-3-gram set Jaccard in pure SQL (DuckDB list kernels) — the
 # shared core of the minhash-pair and keep-first oracles.  Gram
-# construction mirrors dedup.word_ngrams exactly: whitespace-split
-# words, <3-word docs collapse to one whole-join gram, empty docs have
-# no grams.  The threshold predicate uses the same division form as
-# the pipeline (CAST/len >= 0.8) so borderline doubles agree.
+# construction mirrors dedup.word_ngrams for ASCII text: words split
+# on Python str.split()'s ASCII whitespace class (\t \n \v \f \r
+# \x1c-\x1f space — RE2's \s misses \x1c-\x1f, and edge tokens must
+# be FILTERED, not kept empty, or 'a b\n' diverges from 'a b'),
+# <3-word docs collapse to one whole-join gram, gram-less docs have
+# no grams.  Non-ASCII whitespace (U+0085 etc.) is out of scope: the
+# fixtures are ASCII (asserted where the alias tests read them).  The
+# threshold predicate uses the same division form as the pipeline
+# (double division of exact integers >= 0.8) so borderline doubles
+# agree.
 _JACCARD_GRAMS_CTE = (
-    "w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws, "
-    " text FROM documents), "
-    "g AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+    "w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
+    " '[\\t\\n\\x0B\\x0C\\r\\x1C-\\x1F ]+'), x -> x <> '') AS ws "
+    " FROM documents), "
+    "g AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN [] "
     " WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
     " ELSE list_transform(generate_series(1, len(ws)-2), "
     "  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS grams "
@@ -944,10 +956,19 @@ _JACCARD_GRAMS_CTE = (
     "  CAST(COUNT(*) AS DOUBLE) AS inter "
     " FROM x a JOIN x b ON a.gram = b.gram AND a.doc_id < b.doc_id "
     " GROUP BY 1, 2), "
+    # two pair sources: shared-gram candidates (jaccard > 0 needs a
+    # shared gram), PLUS every pair of GRAM-LESS docs — the pipeline
+    # pairs those at jaccard 1.0 (empty docs share the all-max minhash
+    # signature, so they share every band bucket, and the both-empty
+    # verify convention is 1.0), so the oracle must too
     "p AS (SELECT lid AS left_id, rid AS right_id, "
     " ROUND(inter / (ka.k + kb.k - inter), 6) AS jaccard "
     " FROM i JOIN sz ka ON ka.doc_id = lid JOIN sz kb ON kb.doc_id = rid "
-    " WHERE inter / (ka.k + kb.k - inter) >= 0.8)"
+    " WHERE inter / (ka.k + kb.k - inter) >= 0.8 "
+    " UNION ALL "
+    " SELECT a.doc_id, b.doc_id, 1.0 "
+    " FROM sz a JOIN sz b ON a.doc_id < b.doc_id "
+    " WHERE a.k = 0 AND b.k = 0)"
 )
 
 _JACCARD_PAIRS_SQL = (
