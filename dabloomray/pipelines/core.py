@@ -331,11 +331,19 @@ def dedup_approx(
     100 TB the exchange carries hashes, never documents.  Requires
     ``seq_col`` values to be globally unique.
 
-    ``payload="join"``: like mask, but the survivor seq ids stay
-    distributed and phase 2 is a ``Dataset.join(left_semi)`` on seq —
-    no driver-side collect at all.  Use beyond ~10^8 survivors, where
-    the mask array would not fit on the driver (mask collects ~8 B per
-    survivor; join trades that for a second shuffle of seq ids).
+    ``payload="join"``: like mask, but the survivor seq set NEVER
+    lands on the driver — two-phase block gather (VERDICT r3 #2;
+    replaces the old full-row ``Dataset.join(left_semi)``, which
+    shuffled wide rows at ~3x mask cost): phase 2a sorts the survivor
+    seq ids (an 8 B/row shuffle) and leaves the sorted blocks in the
+    object store; the driver holds only (block ref, min_seq, max_seq)
+    triples.  Phase 2b filters the target WITHOUT shuffling it — each
+    task ``ray.get``s just the survivor blocks overlapping its batch's
+    own [min, max] seq range (zero-copy on the same node, LRU-cached
+    per actor).  Worst case (randomly-ordered target) each NODE pulls
+    the full survivor set once — ~8 B/survivor/node, still orders of
+    magnitude below shuffling a wide corpus.  Use beyond ~10^8
+    survivors, where the mask array would not fit on the driver.
 
     ``payload="auto"``: size-aware selection — the gate output (seq
     ids only, 8 B/row, blocks distributed in the object store) is
@@ -394,16 +402,7 @@ def dedup_approx(
         return _rangemask_filter(target, survivors_ds, seq_col, spill_dir,
                                  range_buckets)
     if payload == "join":
-        # finish the gate's shuffle before starting the join's: two
-        # concurrent all-to-alls contend for the same task slots, and
-        # the survivor blocks (8 B/row) are cheap to hold
-        survivors_ds = survivors_ds.materialize()
-        renamed = survivors_ds.map_batches(
-            lambda t: t.rename_columns(["_surv_seq"]),
-            batch_format="pyarrow")
-        return target.join(renamed, join_type="left_semi",
-                           num_partitions=num_partitions,
-                           on=(seq_col,), right_on=("_surv_seq",))
+        return _blockmask_filter(target, survivors_ds, seq_col)
     seqs = np.sort(np.concatenate([
         b.column("seq").to_numpy()
         for b in survivors_ds.iter_batches(batch_size=None,
@@ -458,6 +457,91 @@ def dedup_survivor_seqs(ds, key_col: str, seq_col: str,
     return (ds.map_batches(project, batch_format="pyarrow")
             .groupby("part_id").map_groups(gate_group,
                                            batch_format="pyarrow"))
+
+
+class _BlockMaskFilter:
+    """Actor for ``payload="join"``'s phase 2b (VERDICT r3 #2): filter
+    a batch to surviving seq ids by ``ray.get``-ing ONLY the sorted
+    survivor blocks overlapping the batch's own [min_seq, max_seq]
+    (zero-copy from the object store on the same node; small LRU per
+    actor).  ``refs`` are ObjectRefs of sorted, range-disjoint
+    pyarrow blocks (from ``Dataset.sort("seq")``) — holding them in
+    the constructor args pins the blocks for the actor's lifetime."""
+
+    def __init__(self, refs, los: np.ndarray, his: np.ndarray,
+                 seq_col: str, cache_blocks: int = 8):
+        self.refs = refs
+        self.los = los  # ascending per-block min seq
+        self.his = his  # ascending per-block max seq
+        self.seq_col = seq_col
+        self.cache: dict[int, np.ndarray] = {}
+        self.cache_cap = cache_blocks
+
+    def _block(self, i: int) -> np.ndarray:
+        import ray
+
+        if i not in self.cache:
+            if len(self.cache) >= self.cache_cap:
+                self.cache.pop(next(iter(self.cache)))
+            tab = ray.get(self.refs[i])
+            # sort() emits sorted blocks; keep a compact int64 copy
+            self.cache[i] = tab.column("seq").to_numpy().astype(np.int64)
+        return self.cache[i]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        seqs = batch.column(self.seq_col).cast(pa.int64()).to_numpy()
+        lo, hi = int(seqs.min()), int(seqs.max())
+        # blocks overlapping [lo, hi]: his >= lo and los <= hi
+        i0 = int(np.searchsorted(self.his, lo, side="left"))
+        i1 = int(np.searchsorted(self.los, hi, side="right"))
+        if i0 >= i1:
+            return batch.slice(0, 0)
+        surv = np.concatenate([self._block(i) for i in range(i0, i1)])
+        # blocks are range-disjoint and internally sorted ⇒ surv sorted
+        pos = np.minimum(np.searchsorted(surv, seqs), len(surv) - 1)
+        return batch.filter(pa.array(surv[pos] == seqs))
+
+
+def _blockmask_filter(target, survivors_ds, seq_col: str,
+                      concurrency=(1, 8)):
+    """Phase 2 of ``payload="join"`` (two-phase block gather): sort
+    the survivor seq ids, pin the sorted blocks in the object store,
+    and filter the target against per-batch overlapping blocks — the
+    target never shuffles, the driver never holds survivor ids (only
+    one (ref, lo, hi) triple per block)."""
+    import ray
+
+    srt = survivors_ds.sort("seq").materialize()
+    refs = [ref
+            for bundle in srt.iter_internal_ref_bundles()
+            for ref, md in zip(bundle.block_refs, bundle.metadata)
+            if md.num_rows]
+    if not refs:
+        return target.map_batches(lambda t: t.slice(0, 0),
+                                  batch_format="pyarrow")
+
+    @ray.remote(num_cpus=0.25)
+    def bounds(tab) -> tuple[int, int]:
+        col = tab.column("seq")
+        import pyarrow.compute as pc
+
+        mm = pc.min_max(col).as_py()
+        return int(mm["min"]), int(mm["max"])
+
+    bl = ray.get([bounds.remote(r) for r in refs])
+    los = np.array([b[0] for b in bl], dtype=np.int64)
+    his = np.array([b[1] for b in bl], dtype=np.int64)
+    order = np.argsort(los, kind="stable")
+    refs = [refs[i] for i in order]
+    los, his = los[order], his[order]
+    return target.map_batches(
+        _BlockMaskFilter,
+        fn_constructor_kwargs={"refs": refs, "los": los, "his": his,
+                               "seq_col": seq_col},
+        batch_format="pyarrow", concurrency=concurrency,
+    )
 
 
 class _RangeMaskFilter:

@@ -229,6 +229,45 @@ def test_dedup_mask_mode_equals_rows_mode(urls_ds):
         sorted(rows.column("seq_id").to_pylist())
 
 
+def test_dedup_join_mode_no_driver_survivors(urls_ds, monkeypatch):
+    """VERDICT r3 #2: payload='join' (two-phase block gather) must
+    never collect the survivor seq set on the driver or ``ray.put`` a
+    survivor-sized array — the driver holds only (block ref, lo, hi)
+    triples; target rows never shuffle.  Also covers a RANDOMLY
+    ordered wide target (the case rangemask degrades on)."""
+    import pickle
+
+    import ray
+
+    urls, ds = urls_ds
+    # shuffle the target's row order so seq ranges per block are wide
+    shuffled = ds.random_shuffle(seed=9)
+    puts = []
+    real_put = ray.put
+
+    def spy_put(obj, *a, **kw):
+        if isinstance(obj, np.ndarray):
+            puts.append(obj.nbytes)
+        else:
+            try:
+                puts.append(len(pickle.dumps(obj)))
+            except Exception:
+                puts.append(0)
+        return real_put(obj, *a, **kw)
+
+    monkeypatch.setattr(ray, "put", spy_put)
+    pol = dict(policy=ScalingPolicy(capacity0=1000, target_error=0.05),
+               num_partitions=4)
+    rows = collect(dedup_approx(ds, "url", "seq_id", **pol))
+    join = collect(dedup_approx(shuffled, "url", "seq_id",
+                                payload="join", **pol))
+    assert sorted(join.column("seq_id").to_pylist()) == \
+        sorted(rows.column("seq_id").to_pylist())
+    # the survivor set here is ~2000 rows x 8 B; any driver-side put of
+    # it would be >= that — assert nothing survivor-sized was put
+    assert all(p < 8_000 for p in puts), max(puts)
+
+
 def test_dedup_exact_matches_distinct(urls_ds):
     urls, ds = urls_ds
     out = collect(dedup_exact(ds, "url", "seq_id"))
