@@ -112,6 +112,34 @@ def test_fixture_simhash_aliases_documented():
     assert counts["sf0.1"] >= 0
 
 
+def test_membership_semijoin_no_keyset_put(entrymod, con, monkeypatch):
+    """VERDICT r3 #3: the exact verify behind membership_semijoin is a
+    bucketed distributed semi-join now — the only ray.put allowed is
+    the bloom sketch itself.  Assert no int64 key ARRAY is ever put,
+    and that the result still matches the oracle."""
+    import pandas as pd
+    import ray
+
+    put_arrays = []
+    real_put = ray.put
+
+    def spy_put(obj, *a, **kw):
+        if isinstance(obj, np.ndarray):
+            put_arrays.append(obj.nbytes)
+        return real_put(obj, *a, **kw)
+
+    monkeypatch.setattr(ray, "put", spy_put)
+    got = entrymod.queries()["membership_semijoin"](SF)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    assert put_arrays == [], "a raw key array reached ray.put"
+    want = con.sql(entrymod.oracle_sql()["membership_semijoin"]).df()
+    got = got[sorted(got.columns)].sort_values(
+        by=sorted(got.columns)).reset_index(drop=True)
+    want = want[sorted(want.columns)].sort_values(
+        by=sorted(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_scaling_remove_stream_semantics(entrymod):
     """The distributed add/remove stream query (G2+G3 via op_col
     routing, the pydablooms suite pattern): every RETAINED key (added,
