@@ -1018,8 +1018,12 @@ def _hazen_quantile_sql(table: str, col: str, qs: list[float]) -> str:
         "  (SELECT v FROM s WHERE i = (SELECT CAST(n AS BIGINT) FROM meta)) "
         " ELSE lo.v + (q*n - (ilo - 0.5)) * (hi.v - lo.v) END, 6) "
         " AS value_est "
-        "FROM pos JOIN s lo ON lo.i = pos.ilo "
-        "JOIN s hi ON hi.i = pos.ilo + 1 ORDER BY q"
+        # LEFT joins (ADVICE r3): for n <= 1 the interpolation rows
+        # ilo/ilo+1 have no match, but the q*n<=0.5 / q*n>=n-0.5 CASE
+        # branches (which never read lo/hi) must still see their row —
+        # inner joins would eliminate it before the CASE evaluates
+        "FROM pos LEFT JOIN s lo ON lo.i = pos.ilo "
+        "LEFT JOIN s hi ON hi.i = pos.ilo + 1 ORDER BY q"
     )
 
 

@@ -282,9 +282,11 @@ def bucket_pair_indices(n: int, max_bucket: int) -> tuple[np.ndarray, np.ndarray
     near-dups of each other but NOT of the hub doc, their (hub,x) and
     (hub,y) edges fail the verify and the x—y edge was never emitted —
     recall inside such mixed mega-buckets is reduced.  The
-    ``bucket_size`` column flags affected candidates so callers can
-    re-run the bucket un-capped or with a tighter banding if that
-    matters."""
+    ``bucket_size`` column flags affected candidates
+    (``candidate_pairs_from_bands`` always emits it;
+    ``minhash_lsh_dedup(keep_bucket_size=True)`` carries it through
+    the verify, ADVICE r3) so callers can re-run the bucket un-capped
+    or with a tighter banding if that matters."""
     if n > max_bucket:
         _LOG.warning("LSH bucket of %d docs exceeds max_bucket=%d; "
                      "star-linking instead of all-pairs", n, max_bucket)
@@ -503,7 +505,10 @@ def _verify_jaccard(threshold: float, ngram: int):
         rh, rc = shingle_hashes(batch.column("right_text"), ngram, seed=7)
         sims = pairwise_jaccard_hashes(lh, lc, rh, rc)
         keep = sims >= threshold if len(batch) else np.zeros(0, dtype=bool)
-        out = batch.filter(pa.array(keep)).select(["left_id", "right_id"])
+        cols = ["left_id", "right_id"]
+        if "bucket_size" in batch.column_names:  # plumbed when requested
+            cols.append("bucket_size")
+        out = batch.filter(pa.array(keep)).select(cols)
         return out.append_column(
             "jaccard", pa.array(np.round(sims[keep], 6), pa.float64()))
 
@@ -513,12 +518,19 @@ def _verify_jaccard(threshold: float, ngram: int):
 def minhash_lsh_dedup(ds, id_col: str, text_col: str, threshold: float = 0.8,
                       num_perm: int = 128, bands: int = 32, ngram: int = 3,
                       max_bucket: int = DEFAULT_MAX_BUCKET,
-                      num_partitions: int = 8):
+                      num_partitions: int = 8,
+                      keep_bucket_size: bool = False):
     """Full MinHash-LSH near-dup pipeline → verified pairs
     (left_id, right_id, jaccard), jaccard >= threshold.  Fully
     distributed: candidates shuffle as (doc_id, band key) rows, text
     reaches the verify stage via bucketed joins (module docstring) —
-    the driver never holds texts or pair lists."""
+    the driver never holds texts or pair lists.
+
+    ``keep_bucket_size=True`` (ADVICE r3) carries the generating
+    bucket's size on every output pair, so callers can detect pairs
+    that came out of a capped (star-linked) bucket — where pair
+    LISTING recall is reduced (see :func:`bucket_pair_indices`) — and
+    re-run those buckets un-capped or with tighter banding."""
     import ray.data as rd
 
     # explicit batch_size: the signature kernel has fixed per-call
@@ -528,15 +540,18 @@ def minhash_lsh_dedup(ds, id_col: str, text_col: str, threshold: float = 0.8,
     bands_ds = ds.map_batches(
         MinHashBands(id_col, text_col, num_perm, bands, ngram),
         batch_format="pyarrow", batch_size=8192)
-    cand = candidate_pairs_from_bands(bands_ds, max_bucket=max_bucket) \
-        .drop_columns(["bucket_size"])
+    cand = candidate_pairs_from_bands(bands_ds, max_bucket=max_bucket)
+    if not keep_bucket_size:
+        cand = cand.drop_columns(["bucket_size"])
     pairs = attach_pair_texts(cand, ds, id_col, text_col,
                               num_partitions=num_partitions)
     if pairs is None:  # no candidate pairs anywhere
-        return rd.from_arrow(pa.table({
-            "left_id": pa.array([], pa.int64()),
-            "right_id": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64())}))
+        cols = {"left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64())}
+        if keep_bucket_size:
+            cols["bucket_size"] = pa.array([], pa.int64())
+        cols["jaccard"] = pa.array([], pa.float64())
+        return rd.from_arrow(pa.table(cols))
     return pairs.map_batches(_verify_jaccard(threshold, ngram),
                              batch_format="pyarrow")
 
@@ -571,27 +586,34 @@ def pairs_to_groups(pairs: pa.Table) -> dict[int, int]:
 
 
 def minlabel_components(pairs_ds, max_rounds: int = 20,
-                        num_partitions: int = 4):
+                        num_partitions: int = 4, strict: bool = True):
     """Connected components over an edge Dataset (left_id, right_id)
     by min-label propagation — the DISTRIBUTED alternative to
     driver-side union-find: every node's label converges to the
     smallest id in its component within diameter rounds (near-dup
     clusters are shallow; star-linked capped buckets have diameter 2).
 
-    The edge set is symmetrized ONCE up front (both directions), so
-    each round is a single hash join (edges ⋈ labels on src) + a
-    grouped min over messages + current labels.  From round 2 onward a
-    POINTER JUMP follows (label ← label(label), one more join):
-    label(y) ≤ y always and label(y) stays inside y's component, so
-    the jump is monotone and safe, and it roughly halves the
-    unresolved depth each round — a diameter-d chain converges in
-    O(log d) rounds instead of d (shallow graphs, the near-dup common
-    case, converge in ≤3 rounds before jumping ever pays its join).
+    The edge set is symmetrized ONCE up front (both directions).  Each
+    round is ONE round-trip (VERDICT r3 #6 — the old shape paid ~4
+    materialize barriers/round): the neighbour-message join
+    (edges ⋈ labels on src) and, from round 2, the POINTER-JUMP join
+    (labels ⋈ labels on label → label(label)) both read the SAME
+    materialized label table and feed one union → grouped-min →
+    single materialize.  label(y) ≤ y always and label(y) stays inside
+    y's component, so folding the jump into the min is monotone and
+    safe — label ← min(label, min_neighbour_label, label(label)) has
+    the same fixpoint (label constant across every edge ⇒ component
+    min) and still halves the unresolved depth per round: a diameter-d
+    chain converges in O(log d) rounds.
+
     Convergence is detected by the label-sum (strictly decreasing
     while any label changes); if ``max_rounds`` is exhausted before
-    the fixpoint a warning is logged.  Everything stays distributed;
-    volumes are bounded by the verified pair count.  Returns a Dataset
-    of (node, label), label == component min id."""
+    the fixpoint, ``strict=True`` (default) RAISES — silently
+    returning partial labels would corrupt keep-first output (ADVICE
+    r3) — while ``strict=False`` logs and returns the partial labels.
+    Everything stays distributed; volumes are bounded by the verified
+    pair count.  Returns a Dataset of (node, label), label ==
+    component min id."""
     from ray.data.aggregate import Min
 
     edges = drop_empty_blocks(pairs_ds.select_columns(
@@ -615,6 +637,13 @@ def minlabel_components(pairs_ds, max_rounds: int = 20,
     def first_row(group: pa.Table) -> pa.Table:
         return group.slice(0, 1)
 
+    def as_msgs(node_col: str, label_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t.column(node_col).cast(pa.int64()),
+                "label": t.column(label_col).cast(pa.int64())})
+        return fn
+
     labels = (edges2.map_batches(flat_nodes, batch_format="pyarrow")
               .groupby("node").map_groups(first_row,
                                           batch_format="pyarrow"))
@@ -622,46 +651,44 @@ def minlabel_components(pairs_ds, max_rounds: int = 20,
     prev_sum = None
     converged = False
     for rnd in range(max_rounds):
-        j = edges2.join(
+        msgs = edges2.join(
             labels.map_batches(
                 lambda t: t.rename_columns(["_n", "_l"]),
                 batch_format="pyarrow"),
             join_type="inner", num_partitions=num_partitions,
-            on=("src",), right_on=("_n",))
-        msgs = drop_empty_blocks(j.materialize()).map_batches(
-            lambda t: pa.table({
-                "node": t.column("dst").cast(pa.int64()),
-                "label": t.column("_l").cast(pa.int64())}),
-            batch_format="pyarrow")
-        labels = drop_empty_blocks(
-            labels.union(msgs).groupby("node").aggregate(
-                Min("label", alias_name="label")).materialize())
+            on=("src",), right_on=("_n",),
+        ).map_batches(as_msgs("dst", "_l"), batch_format="pyarrow")
+        u = labels.union(msgs)
         if rnd >= 1:
-            # pointer jump: label(label(x)) ≤ label(x), same component
-            jmp = labels.join(
+            # pointer jump folded into the same reduce: every label IS
+            # a node, so the join is total and label(label) arrives as
+            # one more message stream
+            jmsgs = labels.join(
                 labels.map_batches(
                     lambda t: t.rename_columns(["_n2", "_l2"]),
                     batch_format="pyarrow"),
                 join_type="inner", num_partitions=num_partitions,
-                on=("label",), right_on=("_n2",))
-            jumped = drop_empty_blocks(jmp.materialize())
-            if jumped is not None:  # every label IS a node ⇒ total join
-                labels = drop_empty_blocks(jumped.map_batches(
-                    lambda t: pa.table({
-                        "node": t.column("node").cast(pa.int64()),
-                        "label": t.column("_l2").cast(pa.int64())}),
-                    batch_format="pyarrow").materialize())
+                on=("label",), right_on=("_n2",),
+            ).map_batches(as_msgs("node", "_l2"), batch_format="pyarrow")
+            u = u.union(jmsgs)
+        labels = drop_empty_blocks(
+            u.groupby("node").aggregate(
+                Min("label", alias_name="label")).materialize())
         new_sum = labels.sum("label")
         if new_sum == prev_sum:  # monotone ⇒ fixpoint reached
             converged = True
             break
         prev_sum = new_sum
     if not converged:
-        _LOG.warning(
-            "minlabel_components: label sum still changing after "
-            "max_rounds=%d — a component with diameter > %d exists and "
-            "its labels did NOT converge; keep-first will keep extra "
-            "survivors.  Raise max_rounds.", max_rounds, max_rounds - 1)
+        msg = (
+            f"minlabel_components: label sum still changing after "
+            f"max_rounds={max_rounds} — a component with diameter > "
+            f"2^{max_rounds - 1} exists and its labels did NOT "
+            f"converge; keep-first would keep extra survivors.  Raise "
+            f"max_rounds (or pass strict=False for partial labels).")
+        if strict:
+            raise RuntimeError(msg)
+        _LOG.warning(msg)
     return labels
 
 

@@ -238,6 +238,76 @@ def test_minlabel_pointer_jump_beats_diameter(ray_session):
     assert all(labels[i] == 0 for i in range(200))
 
 
+def test_minhash_keep_bucket_size_plumbed(ray_session):
+    """ADVICE r3: the capped-bucket escape hatch must be reachable
+    from the public entry point — keep_bucket_size=True carries the
+    generating bucket's size on every verified pair."""
+    import ray.data as rd
+
+    docs = corpus()
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    out = minhash_lsh_dedup(ds, "doc_id", "text", threshold=0.8,
+                            keep_bucket_size=True).take_all()
+    assert out, "fixture has near-dup pairs"
+    for r in out:
+        assert r["bucket_size"] >= 2
+    # default output stays unchanged (no bucket_size column)
+    plain = minhash_lsh_dedup(ds, "doc_id", "text",
+                              threshold=0.8).take_all()
+    assert set(plain[0]) == {"left_id", "right_id", "jaccard"}
+
+
+def test_minlabel_one_materialize_per_round(ray_session, monkeypatch):
+    """VERDICT r3 #6: each propagation round must pay ONE materialize
+    barrier (labels), not ~4 — the neighbour-message join and the
+    pointer-jump join are lazy over the same materialized label table
+    and feed a single union -> grouped-min.  Budget: 3 setup
+    materializes (edges, symmetrized, initial labels) + rounds."""
+    import ray.data as rd
+    from ray.data import Dataset
+
+    from dabloomray.pipelines.dedup import minlabel_components
+
+    calls = []
+    real = Dataset.materialize
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(Dataset, "materialize", spy)
+    edges = [(i, i + 1) for i in range(30)]
+    ds = rd.from_arrow(pa.table({
+        "left_id": pa.array([a for a, _ in edges], pa.int64()),
+        "right_id": pa.array([b for _, b in edges], pa.int64()),
+    }))
+    labels = {r["node"]: r["label"]
+              for r in minlabel_components(ds, max_rounds=50).take_all()}
+    assert all(labels[i] == 0 for i in range(31))
+    # 31-node path: c doubles per round (1,2,4,8,16,30) + detection ⇒
+    # ≤ 8 rounds; setup = 3.  The OLD shape paid ~4/round (≥ 20 here).
+    assert sum(calls) <= 3 + 8, sum(calls)
+
+
+def test_minlabel_nonconvergence_raises(ray_session):
+    """ADVICE r3: exhausting max_rounds must RAISE by default (silent
+    partial labels corrupt keep-first output); strict=False keeps the
+    warn-and-return escape hatch."""
+    import ray.data as rd
+
+    from dabloomray.pipelines.dedup import minlabel_components
+
+    edges = [(i, i + 1) for i in range(50)]
+    ds = rd.from_arrow(pa.table({
+        "left_id": pa.array([a for a, _ in edges], pa.int64()),
+        "right_id": pa.array([b for _, b in edges], pa.int64()),
+    }))
+    with pytest.raises(RuntimeError, match="did NOT converge"):
+        minlabel_components(ds, max_rounds=2)
+    out = minlabel_components(ds, max_rounds=2, strict=False)
+    assert out is not None  # partial labels returned on request
+
+
 def test_keep_first_distributed_equals_driver(ray_session):
     """method='distributed' (min-label + anti-join, zero driver
     collection) keeps exactly the same survivors as the union-find

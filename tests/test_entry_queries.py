@@ -194,6 +194,32 @@ def test_kll_quantiles_within_rank_bound(entrymod, con):
         assert abs(rank - q) <= 0.05, (q, est, rank)
 
 
+def test_hazen_oracle_on_degenerate_tables():
+    """ADVICE r3: the Hazen quantile SQL must return all 4 rows (and
+    the right values) even for n=1/n=2 tables, where the interpolation
+    join rows don't exist — LEFT joins keep the extreme-branch CASE
+    rows alive.  Compare against the exact-regime KLL sketch on the
+    same values."""
+    import duckdb as dk
+
+    import __ray_entry__ as e
+    from dabloomray.sketches.kll import KLL
+
+    qs = [0.25, 0.5, 0.75, 0.95]
+    for vals in ([42.0], [10.0, 20.0], [1.0, 2.0, 3.0]):
+        con = dk.connect()
+        con.sql("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ", ".join(f"({v})" for v in vals) + ") x(v)")
+        sql = e._hazen_quantile_sql("t", "v", qs)
+        got = con.sql(sql).df()
+        assert len(got) == len(qs), (vals, got)
+        kll = KLL(8192)
+        kll.add(np.asarray(vals))
+        want = np.round(kll.quantile(np.asarray(qs)), 6)
+        assert np.allclose(got["value_est"].to_numpy(), want), (
+            vals, got["value_est"].tolist(), want.tolist())
+
+
 def test_jaccard_oracle_matches_pipeline_on_adversarial_texts(ray_session):
     """Differential guard for the minhash/keep-first oracles (r3
     review findings): texts with trailing/leading whitespace, \\x1c-\\x1f
