@@ -26,13 +26,28 @@ import numpy as np
 
 
 def sniff(buf: bytes) -> str | None:
-    """Identify a decodable uncompressed format, else None."""
+    """Identify a media format from its magic bytes, else None.
+
+    ppm/bmp/wav have REAL pure-numpy codecs in this module; the
+    compressed formats are identified so pluggable decoders
+    (``multimodal.register_decoder``) can key on them — without a
+    registered decoder they take the stage's documented fallback."""
     if buf[:2] == b"P6":
         return "ppm"
     if buf[:2] == b"BM":
         return "bmp"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
+    if buf[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if buf[:4] == b"GIF8":
+        return "gif"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        return "webp"
+    if buf[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 

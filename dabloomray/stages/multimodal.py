@@ -45,6 +45,38 @@ IMAGE_META_SCHEMA = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# pluggable decoder registry (VERDICT r3 #5)
+# ---------------------------------------------------------------------------
+# On a cluster with real media libraries, plug decoders in WITHOUT
+# editing the stages:
+#     register_decoder("jpeg", lambda b: np.asarray(PIL.Image.open(...)))
+# Keyed on codecs.sniff's format name; a registered decoder takes
+# priority over the built-ins (so tests/users can override), and
+# formats with no registered decoder keep the stage's documented
+# fallback (real pure-numpy codec for ppm/bmp, deterministic fake /
+# pass-through otherwise).  Registered per PROCESS: on a cluster call
+# register_decoder at module import (e.g. in the module defining your
+# pipeline) so every Ray worker registers it on deserialization.
+
+_DECODERS: dict[str, dict] = {}
+
+
+def register_decoder(fmt: str, decode, dims=None) -> None:
+    """Register ``decode: bytes -> HxWxC uint8 ndarray`` for a
+    ``codecs.sniff`` format name (``jpeg``, ``png``, ``mp4``, ...).
+    ``dims: bytes -> (height, width, channels)`` is optional — when
+    absent, dimension queries decode the blob and read its shape.  A
+    decoder that raises ValueError/struct.error/OSError on a malformed
+    blob falls back to the stage's documented fallback path (never
+    fails the task)."""
+    _DECODERS[fmt] = {"decode": decode, "dims": dims}
+
+
+def unregister_decoder(fmt: str) -> None:
+    _DECODERS.pop(fmt, None)
+
+
 def _decode_image(blob: bytes) -> np.ndarray | None:
     """Decode if possible, None otherwise — a malformed or truncated
     blob (sniff only checks magic bytes) must NEVER raise out of a
@@ -52,11 +84,13 @@ def _decode_image(blob: bytes) -> np.ndarray | None:
     whole pipeline."""
     try:
         kind = sniff(blob)
+        if kind in _DECODERS:
+            return np.asarray(_DECODERS[kind]["decode"](blob))
         if kind == "ppm":
             return decode_ppm(blob)
         if kind == "bmp":
             return decode_bmp(blob)
-    except (ValueError, struct.error):
+    except (ValueError, struct.error, OSError):
         return None
     return None
 
@@ -98,7 +132,15 @@ class ImageDecode:
             # the fake path instead of raising out of the task
             try:
                 kind = sniff(blob)
-                if kind == "ppm":
+                if kind in _DECODERS:  # pluggable decoder wins
+                    reg = _DECODERS[kind]
+                    if reg["dims"] is not None:
+                        height[i], width[i], chans[i] = reg["dims"](blob)
+                    else:
+                        img = np.asarray(reg["decode"](blob))
+                        height[i], width[i] = img.shape[0], img.shape[1]
+                        chans[i] = img.shape[2] if img.ndim == 3 else 1
+                elif kind == "ppm":
                     height[i], width[i], chans[i] = ppm_dims(blob)
                 elif kind == "bmp":
                     height[i], width[i], chans[i] = bmp_dims(blob)

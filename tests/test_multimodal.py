@@ -243,3 +243,58 @@ def test_malformed_blobs_never_raise():
     assert aud.column("audio_ok").to_pylist() == [False] * len(bad)
     fs = FrameSample(n_frames=2)(t)  # stub slicing for all
     assert fs.num_rows == 2 * len(bad)
+
+
+def test_decoder_registry_plugs_in_without_editing_stages():
+    """VERDICT r3 #5: register_decoder('jpeg', fn) must route 'jpeg'
+    blobs through the plugged decoder in ImageDecode (dims) and the
+    shared _decode_image path (resize/features), while unregistered
+    compressed formats keep the deterministic-fake fallback, and a
+    raising decoder falls back instead of killing the task."""
+    from dabloomray.stages.multimodal import (
+        _decode_image,
+        register_decoder,
+        unregister_decoder,
+    )
+
+    # a "jpeg": right magic, payload encodes dims in two bytes
+    def toy(h, w):
+        return b"\xff\xd8\xff" + bytes([h, w]) + b"payload"
+
+    def toy_decode(blob):
+        h, w = blob[3], blob[4]
+        return np.full((h, w, 3), 7, np.uint8)
+
+    blobs = [toy(9, 11), toy(5, 6), b"\x89PNG\r\n\x1a\nstub"]
+    t = pa.table({
+        "media_id": pa.array(range(len(blobs)), pa.int64()),
+        "content": pa.array(blobs, pa.binary()),
+    })
+    try:
+        register_decoder("jpeg", toy_decode)
+        dec = ImageDecode()(t)
+        assert dec.column("height").to_pylist()[:2] == [9, 5]
+        assert dec.column("width").to_pylist()[:2] == [11, 6]
+        # png has no registered decoder -> deterministic fake dims
+        assert dec.column("height").to_pylist()[2] >= 64
+        # shared decode path (resize/features) uses the registry too
+        img = _decode_image(toy(4, 3))
+        assert img.shape == (4, 3, 3)
+        rez = ImageResize(2, 2)(t)
+        assert rez.column("resized_ok").to_pylist() == [True, True, False]
+        # a cheap dims hook takes priority over decode-and-measure
+        register_decoder("jpeg", toy_decode,
+                         dims=lambda b: (b[3] + 1, b[4] + 1, 3))
+        dec2 = ImageDecode()(t)
+        assert dec2.column("height").to_pylist()[0] == 10
+        # a RAISING registered decoder falls back, never raises out
+        register_decoder("jpeg", lambda b: (_ for _ in ()).throw(
+            ValueError("corrupt")))
+        dec3 = ImageDecode()(t)
+        assert dec3.column("height").to_pylist()[0] >= 64  # fake dims
+        assert _decode_image(toy(4, 3)) is None
+    finally:
+        unregister_decoder("jpeg")
+    # registry cleared -> jpeg back on the fake path
+    dec4 = ImageDecode()(t)
+    assert dec4.column("height").to_pylist()[0] >= 64
