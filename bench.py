@@ -330,24 +330,34 @@ def main() -> None:
         names = [n for n in only.split(",") if n in qs]
     else:
         names = list(qs)
-    times: dict[str, float] = {}
-    # sequential execution: concurrent pipelines thrash the shuffle on
-    # a small cluster (measured 26.5s sequential vs 36.6s concurrent
-    # at 8 cpus)
-    t_all = time.time()
-    for name in names:
-        t0 = time.time()
-        qs[name]()
-        times[name] = round(time.time() - t0, 3)
-    total = round(time.time() - t_all, 3)
+    # per-query MEDIAN of N runs (VERDICT r3 #4): single 32-cpu runs on
+    # this sandbox swing ±30% between identical binaries (BASELINE.md
+    # hardware control) — the artifact reports the median with min/max
+    # alongside so round-over-round comparisons track code, not host
+    # lottery.  Queries run back-to-back per repeat, sequentially:
+    # concurrent pipelines thrash the shuffle on a small cluster
+    # (measured 26.5s sequential vs 36.6s concurrent at 8 cpus).
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(repeats):
+        for name in names:
+            t0 = time.time()
+            qs[name]()
+            runs[name].append(round(time.time() - t0, 3))
+    times = {n: sorted(v)[len(v) // 2] for n, v in runs.items()}
+    minmax = {n: [min(v), max(v)] for n, v in runs.items()}
+    total = round(sum(times.values()), 3)  # sum of per-query medians
     headline = times.get("webtext_e2e", total)
     print(json.dumps({
         "metric": "webtext e2e (dedup+extract+quality+fingerprint+write) "
                   "over synthetic Common-Crawl-style corpus; suite adds "
-                  "sketch build/check/dedup/hll/text micro-pipelines",
+                  "sketch build/check/dedup/hll/text micro-pipelines; "
+                  "per-query median of N runs (min/max alongside)",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_minmax": minmax,
+        "repeats": repeats,
         "sf": SF_DIR,
         "corpus_rows": CORPUS_ROWS,
         "num_cpus": NUM_CPUS,
@@ -383,7 +393,11 @@ def scaling() -> None:
         # scaling criterion measures the HEADLINE pipeline (the e2e
         # webtext job) on the same input at both levels; this sandbox
         # is noisy (±30% between identical runs) → median of N
+        # one in-process run per subprocess: --scaling medians over N
+        # FRESH sessions already (fresh ray.init per run is the point);
+        # letting main() also median internally would cube the runs
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_REPEATS="1",
                    GRAFT_BENCH_ONLY=os.environ.get("GRAFT_BENCH_ONLY",
                                                    "webtext_e2e"))
         runs = []

@@ -121,6 +121,25 @@ def _stream(n=100_000):
     return np.exp(4 * u)  # log-uniform in [1, e^4]
 
 
+def _published_bound(sk, q: float) -> float:
+    """The PUBLISHED (k/δ-parameterized) rank-error ceiling the sketch
+    claims (VERDICT r3 #7 — asserts cite the bound they check):
+
+    - t-digest (Dunning & Ertl 2019, k1 scale function §3): a centroid
+      near quantile q spans Δq ≤ Δk/k'(q) = 2π·sqrt(q(1-q))/δ (with
+      k(q) = asin(2q-1)/2π, k'(q) = 1/(2π·sqrt(q(1-q))), Δk = 1/δ);
+      midpoint interpolation then errs by at most half a span:
+      ε(q) ≤ π·sqrt(q(1-q))/δ.  δ=200, q=0.5 → 0.79%, q=0.01 → 0.16%.
+    - KLL (Karnin-Lang-Liberty 2016: ε = O(sqrt(log 1/δ_fail)/k));
+      the Apache DataSketches calibration of the same 2/3-compaction
+      family fits the 99%-confidence constant: ε(k) ≈ 2.296/k^0.9433
+      — k=200 → ~1.55%.
+    """
+    if isinstance(sk, TDigest):
+        return float(np.pi * np.sqrt(q * (1 - q)) / sk.compression)
+    return float(2.296 / sk.k ** 0.9433)
+
+
 @pytest.mark.parametrize("cls", [lambda: TDigest(200), lambda: KLL(200)])
 def test_quantile_rank_error(cls):
     vals = _stream()
@@ -129,14 +148,15 @@ def test_quantile_rank_error(cls):
     s = np.sort(vals)
     for q in (0.01, 0.25, 0.5, 0.9, 0.99):
         est = sk.quantile(q)
-        # published-bound comparison (ROADMAP r1 #6): KLL k=200 has
-        # eps ~ 2.3/k ≈ 1.15%; t-digest delta=200 is ~0.1% at the
-        # median and tighter at the tails.  Measured on this stream:
-        # t-digest ≤ 0.03%, KLL ≤ 0.7% — assert the measured class,
-        # not just the loose published one.
         rank = np.searchsorted(s, est) / len(s)
-        bound = 0.002 if isinstance(sk, TDigest) else 0.009
-        assert abs(rank - q) < bound, (q, est, rank)
+        err = abs(rank - q)
+        # the implementation must honour its published guarantee...
+        assert err < _published_bound(sk, q), (q, est, rank)
+        # ...and stay in the MEASURED class (t-digest ≤ 0.03%, KLL
+        # ≤ 0.7% on this stream) so accuracy regressions still fail
+        # even while inside the published ceiling
+        assert err < (0.002 if isinstance(sk, TDigest) else 0.009), (
+            q, est, rank)
 
 
 @pytest.mark.parametrize("cls", [lambda: TDigest(200), lambda: KLL(200)])
@@ -155,9 +175,17 @@ def test_quantile_merge_within_bound(cls):
     s = np.sort(vals)
     for q in (0.1, 0.5, 0.95):
         rank = np.searchsorted(s, merged.quantile(q)) / len(s)
-        # merge must not degrade past the single-sketch class
-        bound = 0.004 if isinstance(merged, TDigest) else 0.012
-        assert abs(rank - q) < bound, (q, rank)
+        err = abs(rank - q)
+        # merge = concat + recompress keeps every centroid within the
+        # same k1 Δk ≤ 1/δ span, so the published ceiling still holds
+        # post-merge (KLL merge consumes one compaction level — allow
+        # the next-k ceiling by doubling)
+        cap = _published_bound(merged, q)
+        assert err < (cap if isinstance(merged, TDigest) else 2 * cap), (
+            q, rank)
+        # measured class: merge must not degrade past ~2x single-pass
+        assert err < (0.004 if isinstance(merged, TDigest) else 0.012), (
+            q, rank)
 
 
 @pytest.mark.parametrize("cls", [lambda: TDigest(100), lambda: KLL(150)])
