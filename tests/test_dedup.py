@@ -50,9 +50,10 @@ def test_minhash_signature_deterministic_and_batch_invariant():
 
 def test_minhash_empty_and_short_docs():
     sig = minhash_signatures(["", "one two", ""], num_perm=32)
-    assert (sig[0] == np.iinfo(np.uint64).max).all()
-    assert (sig[2] == np.iinfo(np.uint64).max).all()
-    assert not (sig[1] == np.iinfo(np.uint64).max).all()
+    fill = np.iinfo(sig.dtype).max  # all-max sentinel for gram-less docs
+    assert (sig[0] == fill).all()
+    assert (sig[2] == fill).all()
+    assert not (sig[1] == fill).all()
 
 
 def brute_force_pairs(docs, threshold, ngram=3):
