@@ -388,26 +388,33 @@ def scaling() -> None:
               os.environ.get("GRAFT_SCALE_CPUS", "2,8").split(","))
     ensure_corpus(CORPUS_ROWS)  # generate once, outside the timed runs
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
-    results, all_runs = {}, {}
-    for ncpu in (lo, hi):
-        # scaling criterion measures the HEADLINE pipeline (the e2e
-        # webtext job) on the same input at both levels; this sandbox
-        # is noisy (±30% between identical runs) → median of N
-        # one in-process run per subprocess: --scaling medians over N
-        # FRESH sessions already (fresh ray.init per run is the point);
-        # letting main() also median internally would cube the runs
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_REPEATS="1",
-                   GRAFT_BENCH_ONLY=os.environ.get("GRAFT_BENCH_ONLY",
-                                                   "webtext_e2e"))
-        runs = []
-        for _ in range(repeats):
+    # INTERLEAVED levels (round 4): the sandbox drifts — it slowed
+    # ~1.6x DURING one round-4 measurement window, and running all
+    # lo-cpu sessions before all hi-cpu ones lets a monotone slowdown
+    # masquerade as (anti-)scaling.  Alternating lo/hi pairs each run
+    # with a same-epoch partner, so the per-level medians compare like
+    # with like.  The criterion still measures the HEADLINE pipeline
+    # (the e2e webtext job) on the same input at both levels; ±30%
+    # single-run noise → median of N per level.  One in-process run
+    # per subprocess (GRAFT_BENCH_REPEATS=1): --scaling medians over N
+    # FRESH sessions already; letting main() also median internally
+    # would cube the runs.
+    raw = {lo: [], hi: []}
+    for _ in range(repeats):
+        for ncpu in (lo, hi):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_BENCH_REPEATS="1",
+                       GRAFT_BENCH_ONLY=os.environ.get("GRAFT_BENCH_ONLY",
+                                                       "webtext_e2e"))
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                  env=env, capture_output=True, text=True,
                                  check=True, cwd=os.path.dirname(
                                      os.path.abspath(__file__)))
-            runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
-        runs.sort(key=lambda r: r["value"])
+            raw[ncpu].append(
+                json.loads(out.stdout.strip().splitlines()[-1]))
+    results, all_runs = {}, {}
+    for ncpu in (lo, hi):
+        runs = sorted(raw[ncpu], key=lambda r: r["value"])
         results[ncpu] = runs[len(runs) // 2]  # median
         all_runs[ncpu] = [r["value"] for r in runs]
     t_lo, t_hi = results[lo]["value"], results[hi]["value"]
