@@ -128,14 +128,25 @@ def _q_membership_semijoin(sf_dir: str):
             hit = self.bloom.check(skeys)  # approx gate (no false negatives)
             return batch.filter(pa.array(hit))
 
+    from dabloomray.pipelines.dedup import drop_empty_blocks
+
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity",
                                             "l_returnflag"])
     cand = li.map_batches(BloomGate, batch_format="pyarrow",
                           concurrency=(1, 4))
-    hot_keys = hot.map_batches(
+    # strip stale-schema empties before the join (the Ray 2.49
+    # empty-block wart: map ops pass zero-row blocks through with the
+    # PRE-rename schema, which Dataset.join rejects) — both sides are
+    # schema-changing maps over filtered data
+    hot_keys = drop_empty_blocks(hot.map_batches(
         lambda t: t.select(["o_orderkey"]).rename_columns(["_hk"]),
         batch_format="pyarrow",
-    )
+    ).materialize())
+    cand = drop_empty_blocks(cand.materialize())
+    if hot_keys is None or cand is None:  # no hot orders / no hits
+        return pa.table({"l_returnflag": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "sum_qty": pa.array([], pa.float64())})
     # distributed exact verify: candidates (gate-bounded) semi-join the
     # hot keys in hash buckets — nothing key-set-sized on the driver
     gated = cand.join(hot_keys, join_type="left_semi", num_partitions=8,

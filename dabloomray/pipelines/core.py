@@ -459,34 +459,71 @@ def dedup_survivor_seqs(ds, key_col: str, seq_col: str,
                                            batch_format="pyarrow"))
 
 
+class _LruDict:
+    """Tiny true-LRU (access refreshes recency — the previous
+    insertion-order pop was FIFO and scored 0 hits on sequential
+    scans wider than the capacity, code-review r4)."""
+
+    def __init__(self, cap: int):
+        self.cap = cap
+        self.d: dict = {}
+
+    def get(self, key, build):
+        if key in self.d:
+            self.d[key] = self.d.pop(key)  # refresh recency
+            return self.d[key]
+        if len(self.d) >= self.cap:
+            self.d.pop(next(iter(self.d)))
+        val = build()
+        self.d[key] = val
+        return val
+
+
+def _sorted_membership(batch: pa.Table, seq_col: str,
+                       surv: np.ndarray) -> pa.Table:
+    """Filter ``batch`` to rows whose seq appears in the SORTED
+    survivor array (clamped searchsorted — shared by the mask /
+    rangemask / blockmask payloads)."""
+    if len(surv) == 0:
+        return batch.slice(0, 0)
+    seqs = batch.column(seq_col).cast(pa.int64()).to_numpy()
+    pos = np.minimum(np.searchsorted(surv, seqs), len(surv) - 1)
+    return batch.filter(pa.array(surv[pos] == seqs))
+
+
 class _BlockMaskFilter:
     """Actor for ``payload="join"``'s phase 2b (VERDICT r3 #2): filter
     a batch to surviving seq ids by ``ray.get``-ing ONLY the sorted
     survivor blocks overlapping the batch's own [min_seq, max_seq]
-    (zero-copy from the object store on the same node; small LRU per
-    actor).  ``refs`` are ObjectRefs of sorted, range-disjoint
-    pyarrow blocks (from ``Dataset.sort("seq")``) — holding them in
-    the constructor args pins the blocks for the actor's lifetime."""
+    (zero-copy from the object store on the same node).  ``refs`` are
+    ObjectRefs of sorted, range-disjoint pyarrow blocks (from
+    ``Dataset.sort("seq")``) — holding them in the constructor args
+    pins the blocks for the actor's lifetime.
+
+    Two LRU layers make the worst case cheap: per-block int64 arrays,
+    plus the MERGED span keyed by (i0, i1) — a randomly-ordered
+    target asks for the full span every batch, so the merge (and the
+    fetches under it) happens once per actor, not once per batch."""
 
     def __init__(self, refs, los: np.ndarray, his: np.ndarray,
-                 seq_col: str, cache_blocks: int = 8):
+                 seq_col: str, cache_blocks: int = 8,
+                 cache_spans: int = 4):
         self.refs = refs
         self.los = los  # ascending per-block min seq
         self.his = his  # ascending per-block max seq
         self.seq_col = seq_col
-        self.cache: dict[int, np.ndarray] = {}
-        self.cache_cap = cache_blocks
+        self.blocks = _LruDict(cache_blocks)
+        self.spans = _LruDict(cache_spans)
 
     def _block(self, i: int) -> np.ndarray:
         import ray
 
-        if i not in self.cache:
-            if len(self.cache) >= self.cache_cap:
-                self.cache.pop(next(iter(self.cache)))
+        def build():
             tab = ray.get(self.refs[i])
             # sort() emits sorted blocks; keep a compact int64 copy
-            self.cache[i] = tab.column("seq").to_numpy().astype(np.int64)
-        return self.cache[i]
+            return tab.column("seq").to_numpy().astype(np.int64)
+
+        return self.blocks.get(i, build)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -498,10 +535,16 @@ class _BlockMaskFilter:
         i1 = int(np.searchsorted(self.los, hi, side="right"))
         if i0 >= i1:
             return batch.slice(0, 0)
-        surv = np.concatenate([self._block(i) for i in range(i0, i1)])
-        # blocks are range-disjoint and internally sorted ⇒ surv sorted
-        pos = np.minimum(np.searchsorted(surv, seqs), len(surv) - 1)
-        return batch.filter(pa.array(surv[pos] == seqs))
+        if i1 - i0 == 1:
+            surv = self._block(i0)
+        else:
+            # blocks are range-disjoint and internally sorted ⇒ the
+            # concatenation is sorted; memoized per span
+            surv = self.spans.get(
+                (i0, i1),
+                lambda: np.concatenate(
+                    [self._block(i) for i in range(i0, i1)]))
+        return _sorted_membership(batch, self.seq_col, surv)
 
 
 def _blockmask_filter(target, survivors_ds, seq_col: str,
@@ -552,26 +595,25 @@ class _RangeMaskFilter:
     checkpoints)."""
 
     def __init__(self, spill_dir: str, boundaries: np.ndarray,
-                 seq_col: str, cache_buckets: int = 8):
+                 seq_col: str, cache_buckets: int = 8,
+                 cache_spans: int = 4):
         self.spill_dir = spill_dir
         self.boundaries = boundaries  # ascending inner bucket edges
         self.seq_col = seq_col
-        self.cache: dict[int, np.ndarray] = {}
-        self.cache_cap = cache_buckets
+        self.buckets = _LruDict(cache_buckets)
+        self.spans = _LruDict(cache_spans)
 
     def _bucket(self, b: int) -> np.ndarray:
         import os
 
         import pyarrow.parquet as pq
 
-        if b not in self.cache:
-            if len(self.cache) >= self.cache_cap:
-                self.cache.pop(next(iter(self.cache)))
+        def build():
             path = os.path.join(self.spill_dir, f"bucket={b}.parquet")
-            self.cache[b] = (
-                np.sort(pq.read_table(path).column("seq").to_numpy())
-                if os.path.exists(path) else np.zeros(0, dtype=np.int64))
-        return self.cache[b]
+            return (np.sort(pq.read_table(path).column("seq").to_numpy())
+                    if os.path.exists(path) else np.zeros(0, dtype=np.int64))
+
+        return self.buckets.get(b, build)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -581,14 +623,16 @@ class _RangeMaskFilter:
                                    side="right"))
         b_hi = int(np.searchsorted(self.boundaries, seqs.max(),
                                    side="right"))
-        surv = np.concatenate([self._bucket(b)
-                               for b in range(b_lo, b_hi + 1)] or
-                              [np.zeros(0, dtype=np.int64)])
-        surv = np.sort(surv)
-        if len(surv) == 0:
-            return batch.slice(0, 0)
-        pos = np.minimum(np.searchsorted(surv, seqs), len(surv) - 1)
-        return batch.filter(pa.array(surv[pos] == seqs))
+        if b_lo == b_hi:
+            surv = self._bucket(b_lo)
+        else:
+            # buckets are range-disjoint but each only locally sorted;
+            # the merged span needs one sort — memoized per span
+            surv = self.spans.get(
+                (b_lo, b_hi),
+                lambda: np.sort(np.concatenate(
+                    [self._bucket(b) for b in range(b_lo, b_hi + 1)])))
+        return _sorted_membership(batch, self.seq_col, surv)
 
 
 RANGEMASK_SENTINEL = "_RANGEMASK.json"

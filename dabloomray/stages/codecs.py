@@ -6,9 +6,12 @@ the uncompressed public formats: netpbm **P6 PPM** (binary RGB),
 **24-bit BI_RGB BMP** (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up
 BGR rows padded to 4 bytes), and **PCM-16 RIFF/WAVE**.  Each decoder
 parses the real header and returns numpy arrays; matching encoders
-exist so tests can round-trip.  Compressed formats (JPEG/PNG/MP3/MP4)
-still require the absent libraries — `sniff` returns None for them
-and the multimodal stages fall back to their loudly-marked fakes.
+exist so tests can round-trip.  Compressed formats (JPEG/PNG/MP4...)
+still require the absent libraries — `sniff` IDENTIFIES them by magic
+so a pluggable decoder can claim them (`multimodal.register_decoder`),
+and without one the multimodal stages fall back to their loudly-marked
+fakes.  Treat `sniff(b) is not None` as "format identified", NOT
+"decodable here".
 
 Format references (public): netpbm man pages (ppm(5)); Windows BMP
 file format docs; RIFF/WAVE multimedia programming interface spec.

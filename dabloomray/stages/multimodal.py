@@ -77,6 +77,21 @@ def unregister_decoder(fmt: str) -> None:
     _DECODERS.pop(fmt, None)
 
 
+def _registry_decode(kind: str, blob: bytes) -> np.ndarray | None:
+    """Run a registered decoder defensively: cv2-style decoders return
+    None (not raise) on corrupt input, and np.asarray(None) is a 0-d
+    object array that would crash downstream — normalize every
+    non-image result to None so the malformed-blob-never-kills-a-task
+    invariant holds for plugged decoders too."""
+    out = _DECODERS[kind]["decode"](blob)
+    if out is None:
+        return None
+    arr = np.asarray(out)
+    if arr.ndim < 2 or arr.dtype == object:
+        return None
+    return arr
+
+
 def _decode_image(blob: bytes) -> np.ndarray | None:
     """Decode if possible, None otherwise — a malformed or truncated
     blob (sniff only checks magic bytes) must NEVER raise out of a
@@ -85,7 +100,7 @@ def _decode_image(blob: bytes) -> np.ndarray | None:
     try:
         kind = sniff(blob)
         if kind in _DECODERS:
-            return np.asarray(_DECODERS[kind]["decode"](blob))
+            return _registry_decode(kind, blob)
         if kind == "ppm":
             return decode_ppm(blob)
         if kind == "bmp":
@@ -137,7 +152,10 @@ class ImageDecode:
                     if reg["dims"] is not None:
                         height[i], width[i], chans[i] = reg["dims"](blob)
                     else:
-                        img = np.asarray(reg["decode"](blob))
+                        img = _registry_decode(kind, blob)
+                        if img is None:  # decoder declined the blob
+                            fake_idx.append(i)
+                            continue
                         height[i], width[i] = img.shape[0], img.shape[1]
                         chans[i] = img.shape[2] if img.ndim == 3 else 1
                 elif kind == "ppm":

@@ -293,6 +293,17 @@ def test_decoder_registry_plugs_in_without_editing_stages():
         dec3 = ImageDecode()(t)
         assert dec3.column("height").to_pylist()[0] >= 64  # fake dims
         assert _decode_image(toy(4, 3)) is None
+        # a None-RETURNING decoder (cv2.imdecode convention) must also
+        # fall back — np.asarray(None) is a 0-d object array that
+        # would crash resize/features (code-review r4)
+        register_decoder("jpeg", lambda b: None)
+        decn = ImageDecode()(t)
+        assert decn.column("height").to_pylist()[0] >= 64  # fake dims
+        assert _decode_image(toy(4, 3)) is None
+        rezn = ImageResize(2, 2)(t)
+        assert rezn.column("resized_ok").to_pylist()[0] is False
+        featn = ImageFeatures(dim=8)(t)  # hash-fake, no crash
+        assert len(featn.column("features").to_pylist()[0]) == 8
     finally:
         unregister_decoder("jpeg")
     # registry cleared -> jpeg back on the fake path
