@@ -318,8 +318,7 @@ def _q_embedding_neardup_pairs(sf_dir: str):
     from dabloomray.pipelines.similarity import blocked_cosine_pairs
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = blocked_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4,
-                               n_blocks=8)
+    out = blocked_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
     return _typed_pair_table(out)
 
 

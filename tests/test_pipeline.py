@@ -268,6 +268,37 @@ def test_dedup_join_mode_no_driver_survivors(urls_ds, monkeypatch):
     assert all(p < 8_000 for p in puts), max(puts)
 
 
+def test_lru_dict_is_lru_and_span_memo_hits():
+    """code-review r4: the survivor caches must be true LRU (access
+    refreshes recency) and the merged-span memo must make a repeated
+    full-span request build only once."""
+    from dabloomray.pipelines.core import _LruDict
+
+    builds = []
+
+    def mk(key):
+        def build():
+            builds.append(key)
+            return key
+        return build
+
+    lru = _LruDict(2)
+    lru.get("a", mk("a"))
+    lru.get("b", mk("b"))
+    lru.get("a", mk("a"))      # refresh 'a' — a FIFO would evict it next
+    lru.get("c", mk("c"))      # evicts 'b' (LRU), not 'a'
+    lru.get("a", mk("a"))      # hit
+    assert builds == ["a", "b", "c"]
+    lru.get("b", mk("b"))      # 'b' was evicted — rebuilds
+    assert builds == ["a", "b", "c", "b"]
+
+    # span-memo shape: the same wide span requested per batch builds once
+    spans = _LruDict(4)
+    for _ in range(5):
+        spans.get((0, 64), mk((0, 64)))
+    assert builds.count((0, 64)) == 1
+
+
 def test_dedup_exact_matches_distinct(urls_ds):
     urls, ds = urls_ds
     out = collect(dedup_exact(ds, "url", "seq_id"))

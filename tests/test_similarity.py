@@ -127,6 +127,11 @@ def test_blocked_pairs_equal_bruteforce(emb_ds):
         assert got == want, threshold
         # exactly once per pair — no dedup stage exists to hide doubles
         assert len(rows) == len(got)
+    # n_blocks only changes task granularity, never the output
+    auto = blocked_cosine_pairs(ds, "vec_id", "embedding", threshold=0.95)
+    got_auto = {(r["left_id"], r["right_id"]) for r in auto.take_all()}
+    want95, _ = brute_pairs(m, 0.95)
+    assert got_auto == want95
 
 
 def test_graded_ann_queries_never_collect_corpus(ray_session, monkeypatch):
