@@ -386,6 +386,26 @@ def scaling() -> None:
 
     lo, hi = (int(x) for x in
               os.environ.get("GRAFT_SCALE_CPUS", "2,8").split(","))
+
+    def envelope(nproc: int, secs: int = 12) -> int:
+        """Hardware-envelope control (round 4): aggregate matmul
+        throughput of nproc INDEPENDENT python processes — what the
+        host physically permits at this minute, pipeline-free.  The
+        sandbox's effective-core count drifts with co-tenancy (epochs
+        observed from ~0.97 down to ~0.6 of linear 2→8), so every
+        scaling artifact carries its own envelope: compare the
+        pipeline's speedup against the control's, not an ideal 4x."""
+        worker = ("import numpy as np, time\n"
+                  "a = np.random.default_rng(1).random((1400, 1400))\n"
+                  f"t_end = time.time() + {secs}\n"
+                  "n = 0\n"
+                  "while time.time() < t_end:\n"
+                  "    (a @ a).sum(); n += 1\n"
+                  "print(n)\n")
+        ps = [subprocess.Popen([sys.executable, "-c", worker],
+                               stdout=subprocess.PIPE, text=True)
+              for _ in range(nproc)]
+        return sum(int(p.communicate()[0].strip()) for p in ps)
     ensure_corpus(CORPUS_ROWS)  # generate once, outside the timed runs
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
     # INTERLEAVED levels (round 4): the sandbox drifts — it slowed
@@ -400,7 +420,12 @@ def scaling() -> None:
     # FRESH sessions already; letting main() also median internally
     # would cube the runs.
     raw = {lo: [], hi: []}
+    controls = {lo: [], hi: []}
     for _ in range(repeats):
+        # envelope control bracketing each rep: what speedup the host
+        # physically permits during THIS epoch
+        controls[lo].append(envelope(lo))
+        controls[hi].append(envelope(hi))
         for ncpu in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        GRAFT_BENCH_REPEATS="1",
@@ -419,12 +444,22 @@ def scaling() -> None:
         all_runs[ncpu] = [r["value"] for r in runs]
     t_lo, t_hi = results[lo]["value"], results[hi]["value"]
     factor = hi / lo
+    c_lo, c_hi = sum(controls[lo]), sum(controls[hi])
+    control_speedup = round(c_hi / max(c_lo, 1), 3)
+    eff = round((t_lo / t_hi) / factor, 3)
     print(json.dumps({
         "cpus": [lo, hi],
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
         "speedup": round(t_lo / t_hi, 3),
-        "scaling_efficiency": round((t_lo / t_hi) / factor, 3),
+        "scaling_efficiency": eff,
+        # hardware-envelope control: aggregate matmul throughput of
+        # lo/hi independent processes measured alongside each rep —
+        # the speedup the HOST permitted during this session's epochs
+        "control_speedup": control_speedup,
+        "control_efficiency": round(control_speedup / factor, 3),
+        "efficiency_vs_envelope": round(
+            (t_lo / t_hi) / max(control_speedup, 1e-9), 3),
         f"runs_{lo}": all_runs[lo],
         f"runs_{hi}": all_runs[hi],
         f"urls_per_sec_{lo}": results[lo]["urls_per_sec"],
