@@ -402,10 +402,20 @@ def scaling() -> None:
                   "while time.time() < t_end:\n"
                   "    (a @ a).sum(); n += 1\n"
                   "print(n)\n")
+        # pin BLAS to one thread per worker — otherwise each matmul
+        # process grabs OpenBLAS's default thread count and envelope(2)
+        # silently measures 2*T cores, compressing control_speedup
+        env = dict(os.environ, OMP_NUM_THREADS="1",
+                   OPENBLAS_NUM_THREADS="1", MKL_NUM_THREADS="1")
         ps = [subprocess.Popen([sys.executable, "-c", worker],
-                               stdout=subprocess.PIPE, text=True)
+                               stdout=subprocess.PIPE, text=True, env=env)
               for _ in range(nproc)]
-        return sum(int(p.communicate()[0].strip()) for p in ps)
+        total = 0
+        for p in ps:
+            out = p.communicate()[0].strip()
+            if out.isdigit():  # a dead worker must not kill the session
+                total += int(out)
+        return total
     ensure_corpus(CORPUS_ROWS)  # generate once, outside the timed runs
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
     # INTERLEAVED levels (round 4): the sandbox drifts — it slowed
@@ -420,12 +430,19 @@ def scaling() -> None:
     # FRESH sessions already; letting main() also median internally
     # would cube the runs.
     raw = {lo: [], hi: []}
-    controls = {lo: [], hi: []}
+    control_ratios: list[float] = []
+
+    def measure_control() -> None:
+        c_lo, c_hi = envelope(lo), envelope(hi)
+        if c_lo > 0 and c_hi > 0:
+            control_ratios.append(round(c_hi / c_lo, 3))
+
     for _ in range(repeats):
-        # envelope control bracketing each rep: what speedup the host
-        # physically permits during THIS epoch
-        controls[lo].append(envelope(lo))
-        controls[hi].append(envelope(hi))
+        # envelope control before each rep (plus one after the last,
+        # below): what speedup the host physically permits per epoch —
+        # kept as PER-REP ratios and summarized by median, matching
+        # how the pipeline levels themselves are summarized
+        measure_control()
         for ncpu in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        GRAFT_BENCH_REPEATS="1",
@@ -437,6 +454,7 @@ def scaling() -> None:
                                      os.path.abspath(__file__)))
             raw[ncpu].append(
                 json.loads(out.stdout.strip().splitlines()[-1]))
+    measure_control()  # trailing bracket after the final rep
     results, all_runs = {}, {}
     for ncpu in (lo, hi):
         runs = sorted(raw[ncpu], key=lambda r: r["value"])
@@ -444,8 +462,8 @@ def scaling() -> None:
         all_runs[ncpu] = [r["value"] for r in runs]
     t_lo, t_hi = results[lo]["value"], results[hi]["value"]
     factor = hi / lo
-    c_lo, c_hi = sum(controls[lo]), sum(controls[hi])
-    control_speedup = round(c_hi / max(c_lo, 1), 3)
+    ratios = sorted(control_ratios)
+    control_speedup = ratios[len(ratios) // 2] if ratios else None
     eff = round((t_lo / t_hi) / factor, 3)
     print(json.dumps({
         "cpus": [lo, hi],
@@ -453,13 +471,17 @@ def scaling() -> None:
         f"sec_{hi}": t_hi,
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": eff,
-        # hardware-envelope control: aggregate matmul throughput of
-        # lo/hi independent processes measured alongside each rep —
-        # the speedup the HOST permitted during this session's epochs
+        # hardware-envelope control: per-epoch hi/lo matmul-throughput
+        # ratios measured before each rep and after the last —
+        # summarized by MEDIAN (matching the pipeline statistic); the
+        # raw per-epoch ratios expose intra-session weather
         "control_speedup": control_speedup,
-        "control_efficiency": round(control_speedup / factor, 3),
+        "control_ratios": control_ratios,
+        "control_efficiency": round(control_speedup / factor, 3)
+        if control_speedup else None,
         "efficiency_vs_envelope": round(
-            (t_lo / t_hi) / max(control_speedup, 1e-9), 3),
+            (t_lo / t_hi) / control_speedup, 3) if control_speedup
+        else None,
         f"runs_{lo}": all_runs[lo],
         f"runs_{hi}": all_runs[hi],
         f"urls_per_sec_{lo}": results[lo]["urls_per_sec"],

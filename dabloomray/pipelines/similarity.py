@@ -154,17 +154,20 @@ def blocked_cosine_pairs(ds, id_col: str, vec_col: str,
     Every (x, y) pair is evaluated in exactly one group, so the result
     needs no dedup and equals brute force bit-for-bit (same float64
     normalize + dot).  Per-task memory is ~2N/n_blocks vectors;
-    ``n_blocks=None`` auto-sizes to ~sqrt(2 x cluster CPUs) (min 4)
-    so all B(B+1)/2 groups can run in parallel — the OUTPUT is
-    identical for any n_blocks, only task granularity changes.  Exact
-    all-pairs is O(N^2) compute by definition — beyond ~10^8 rows use
-    :func:`lsh_neardup_pairs` instead."""
+    ``n_blocks=None`` auto-sizes to max(sqrt(2 x cluster CPUs) so all
+    B(B+1)/2 groups can run in parallel, N / 250k so one task's two
+    blocks stay a few hundred MB at typical dims, floor 4) — the
+    OUTPUT is identical for any n_blocks, only task granularity
+    changes.  Exact all-pairs is O(N^2) compute by definition —
+    beyond ~10^8 rows use :func:`lsh_neardup_pairs` instead."""
     if n_blocks is None:
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 8)) \
             if ray.is_initialized() else 8
-        n_blocks = max(4, int(round((2 * cpus) ** 0.5)))
+        n = ds.count()  # parquet metadata read — cheap
+        n_blocks = max(4, int(round((2 * cpus) ** 0.5)),
+                       -(-n // 250_000))
     exploded = ds.map_batches(
         _BlockPairExplode,
         fn_constructor_kwargs={"id_col": id_col, "vec_col": vec_col,
