@@ -57,11 +57,12 @@ def test_empty_dataset_through_pipelines(ray_session):
         "url": pa.array([], pa.string()),
         "seq_id": pa.array([], pa.int64()),
     }))
-    out = collect(dedup_approx(empty, "url", "seq_id",
-                               ScalingPolicy(capacity0=100,
-                                             target_error=0.05),
-                               num_partitions=2, payload="mask"))
-    assert out.num_rows == 0
+    for payload in ("mask", "join"):  # join = two-phase block gather
+        out = collect(dedup_approx(empty, "url", "seq_id",
+                                   ScalingPolicy(capacity0=100,
+                                                 target_error=0.05),
+                                   num_partitions=2, payload=payload))
+        assert out.num_rows == 0, payload
 
     built = collect(build_sketch_hashed(empty, "url",
                                         counting_bloom_factory(100, 0.05),

@@ -134,6 +134,24 @@ def test_blocked_pairs_equal_bruteforce(emb_ds):
     assert got_auto == want95
 
 
+def test_blocked_pairs_meet_exactly_once(emb_ds):
+    """The triangle partition's load-bearing invariant, proven
+    completely: at threshold -1 EVERY pair passes, so the output must
+    be exactly C(n,2) unique (left<right) rows — any pair meeting in
+    two groups would duplicate, any pair meeting in none would be
+    missing.  Odd n_blocks exercises uneven block sizes."""
+    from dabloomray.pipelines.similarity import blocked_cosine_pairs
+
+    m, ds = emb_ds
+    n = len(m)
+    out = blocked_cosine_pairs(ds, "vec_id", "embedding",
+                               threshold=-1.0, n_blocks=5).take_all()
+    assert len(out) == n * (n - 1) // 2
+    pairs = {(r["left_id"], r["right_id"]) for r in out}
+    assert len(pairs) == len(out)
+    assert all(l < r for l, r in pairs)
+
+
 def test_graded_ann_queries_never_collect_corpus(ray_session, monkeypatch):
     """VERDICT r3 #1 'done' criterion: the graded ANN queries
     (embedding_neardup_pairs, knn_embeddings) must execute ZERO
