@@ -707,6 +707,127 @@ def minlabel_components(pairs_ds, max_rounds: int = 20,
     return labels
 
 
+def star_components(pairs_ds, max_rounds: int = 30,
+                    num_partitions: int = 4, strict: bool = True):
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond") — the edge-REWIRING alternative to
+    :func:`minlabel_components`:
+
+    - large-star: every node u links its strictly-larger neighbours
+      to m = min(N(u) ∪ {u});
+    - small-star: u links its ≤-neighbours (and itself) to m.
+
+    Both operations preserve connectivity and strictly shrink the
+    total (u+v) edge weight until every component is a depth-1 star
+    centred on its minimum id, in O(log n) alternations.  Where
+    minlabel propagates LABELS over a FIXED edge set (per-round
+    volume = E forever), the stars rewire the edges themselves, so
+    per-round volume decays with convergence — the better shape when
+    the verified-pair graph is large and dense.  Each round is one
+    symmetrize → groupby(node) → map_groups shuffle.
+
+    Same contract as minlabel_components: returns (node, label) with
+    label == component min, or None for an empty edge set; raises on
+    non-convergence unless ``strict=False``."""
+    edges = drop_empty_blocks(pairs_ds.select_columns(
+        ["left_id", "right_id"]).materialize())
+    if edges is None:
+        return None
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch.column("left_id").cast(pa.int64()).to_numpy()
+        b = batch.column("right_id").cast(pa.int64()).to_numpy()
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table({"u": pa.array(np.minimum(a, b), pa.int64()),
+                         "v": pa.array(np.maximum(a, b), pa.int64())})
+
+    edges = drop_empty_blocks(
+        edges.map_batches(canon, batch_format="pyarrow").materialize())
+    if edges is None:
+        return None
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").combine_chunks()
+        v = batch.column("v").combine_chunks()
+        return pa.table({"src": pa.concat_arrays([u, v]),
+                         "dst": pa.concat_arrays([v, u])})
+
+    def star(large: bool):
+        def fn(group: pa.Table) -> pa.Table:
+            empty = pa.table({"u": pa.array([], pa.int64()),
+                              "v": pa.array([], pa.int64())})
+            if len(group) == 0:
+                return empty
+            u = int(group.column("src")[0].as_py())
+            nb = np.unique(group.column("dst").to_numpy())
+            m = min(u, int(nb[0]))
+            if large:
+                targets = nb[nb > u]
+            else:
+                targets = np.append(nb[nb <= u], u)
+            targets = targets[targets != m]
+            if len(targets) == 0:
+                # keep u's attachment to m so the component's edge
+                # never vanishes before the star is fully formed
+                targets = np.array([u], dtype=np.int64) \
+                    if u != m else np.zeros(0, dtype=np.int64)
+            if len(targets) == 0:
+                return empty
+            return pa.table({
+                "u": pa.array(np.full(len(targets), m), pa.int64()),
+                "v": pa.array(targets.astype(np.int64), pa.int64()),
+            })
+
+        return fn
+
+    prev_sig = None
+    converged = False
+    for rnd in range(max_rounds):
+        for large in (True, False):
+            edges = drop_empty_blocks(
+                edges.map_batches(symmetrize, batch_format="pyarrow")
+                .groupby("src").map_groups(star(large),
+                                           batch_format="pyarrow")
+                .materialize())
+        # total (u+v) weight strictly decreases while anything rewires
+        sig = (edges.count(), edges.sum("u"), edges.sum("v"))
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        msg = (f"star_components: edge set still changing after "
+               f"max_rounds={max_rounds}; labels would be partial.  "
+               f"Raise max_rounds (or pass strict=False).")
+        if strict:
+            raise RuntimeError(msg)
+        _LOG.warning(msg)
+
+    # stars are depth-1: every node's label is min(N(node) ∪ {node})
+    from ray.data.aggregate import Min
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").combine_chunks()
+        v = batch.column("v").combine_chunks()
+        return pa.table({"node": pa.concat_arrays([u, v]),
+                         "label": pa.concat_arrays([v, u])})
+
+    labels = (edges.map_batches(both_dirs, batch_format="pyarrow")
+              .groupby("node").aggregate(Min("label", alias_name="label")))
+
+    def clamp(batch: pa.Table) -> pa.Table:
+        # star centres see only larger partners: label = min(node, min)
+        n = batch.column("node").to_numpy()
+        l = batch.column("label").to_numpy()
+        return pa.table({"node": pa.array(n, pa.int64()),
+                         "label": pa.array(np.minimum(n, l), pa.int64())})
+
+    return drop_empty_blocks(
+        labels.map_batches(clamp, batch_format="pyarrow").materialize())
+
+
 def near_dedup_keep_first(ds, id_col: str, text_col: str,
                           threshold: float = 0.8, method: str = "distributed",
                           **lsh_kwargs):
@@ -716,6 +837,9 @@ def near_dedup_keep_first(ds, id_col: str, text_col: str,
 
     ``method="distributed"`` (default): min-label propagation — no
     driver-side pair collection anywhere, the 100-TB path.
+    ``method="star"``: alternating large-star/small-star edge
+    rewiring (:func:`star_components`) — same guarantees, better
+    per-round volume when the pair graph is large/dense.
     ``method="driver"``: collect verified pairs (orders of magnitude
     smaller than the corpus) and union-find on the driver — fine while
     the PAIR set is driver-sized; kept as the parity reference."""
@@ -724,9 +848,10 @@ def near_dedup_keep_first(ds, id_col: str, text_col: str,
     num_partitions = lsh_kwargs.get("num_partitions", 8)
     pairs_ds = minhash_lsh_dedup(ds, id_col, text_col, threshold=threshold,
                                  **lsh_kwargs)
-    if method == "distributed":
-        labels = minlabel_components(pairs_ds,
-                                     num_partitions=num_partitions)
+    if method in ("distributed", "star"):
+        components = (minlabel_components if method == "distributed"
+                      else star_components)
+        labels = components(pairs_ds, num_partitions=num_partitions)
         if labels is None:  # no near-dup pairs at all
             return ds
         def non_roots(batch: pa.Table) -> pa.Table:

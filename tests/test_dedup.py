@@ -309,6 +309,78 @@ def test_minlabel_nonconvergence_raises(ray_session):
     assert out is not None  # partial labels returned on request
 
 
+def test_star_components_parity(ray_session):
+    """Alternating large-star/small-star (star_components) must label
+    every node with its component min — parity vs driver union-find
+    on deterministic pseudo-random graphs, a long chain, and a star
+    with an off-centre minimum."""
+    import ray.data as rd
+
+    from dabloomray.fixtures import splitmix64
+    from dabloomray.pipelines.dedup import pairs_to_groups, star_components
+
+    cases = []
+    # pseudo-random graphs of varying density
+    for seed, n, e in [(1, 40, 25), (2, 60, 80), (3, 30, 120)]:
+        u = splitmix64(seed, np.arange(2 * e, dtype=np.uint64))
+        a = (u[:e] % np.uint64(n)).astype(np.int64)
+        b = (u[e:] % np.uint64(n)).astype(np.int64)
+        keep = a != b
+        cases.append((a[keep], b[keep]))
+    chain = np.arange(120, dtype=np.int64)
+    cases.append((chain[:-1], chain[1:]))
+    # star centred on 50 whose component min (7) is a leaf
+    leaves = np.array([7, 60, 70, 80], dtype=np.int64)
+    cases.append((np.full(len(leaves), 50, dtype=np.int64), leaves))
+
+    for a, b in cases:
+        t = pa.table({"left_id": pa.array(a, pa.int64()),
+                      "right_id": pa.array(b, pa.int64())})
+        got = {r["node"]: r["label"]
+               for r in star_components(
+                   rd.from_arrow(t).repartition(3)).take_all()}
+        groups = pairs_to_groups(t)
+        want = {int(k): int(v) for k, v in groups.items()}
+        assert got == want
+
+
+def test_star_components_empty_and_nonconvergence(ray_session):
+    import ray.data as rd
+
+    from dabloomray.pipelines.dedup import star_components
+
+    empty = rd.from_arrow(pa.table({
+        "left_id": pa.array([], pa.int64()),
+        "right_id": pa.array([], pa.int64())}))
+    assert star_components(empty) is None
+    chain = [(i, i + 1) for i in range(200)]
+    ds = rd.from_arrow(pa.table({
+        "left_id": pa.array([a for a, _ in chain], pa.int64()),
+        "right_id": pa.array([b for _, b in chain], pa.int64())}))
+    with pytest.raises(RuntimeError, match="still changing"):
+        star_components(ds, max_rounds=2)
+
+
+def test_keep_first_star_equals_driver(ray_session):
+    import ray.data as rd
+
+    from dabloomray.pipelines.dedup import near_dedup_keep_first
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = {0: base, 1: base, 2: base + " extra",
+            3: "totally different words here about other things "
+               "entirely with no overlap at all",
+            4: base, 5: "chain link one " + base,
+            6: "chain link one " + base}
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    a = sorted(r["doc_id"] for r in near_dedup_keep_first(
+        ds, "doc_id", "text", threshold=0.8, method="star").take_all())
+    b = sorted(r["doc_id"] for r in near_dedup_keep_first(
+        ds, "doc_id", "text", threshold=0.8, method="driver").take_all())
+    assert a == b and 0 in a and 3 in a
+
+
 def test_keep_first_distributed_equals_driver(ray_session):
     """method='distributed' (min-label + anti-join, zero driver
     collection) keeps exactly the same survivors as the union-find
