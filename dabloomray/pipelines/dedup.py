@@ -829,25 +829,40 @@ def star_components(pairs_ds, max_rounds: int = 30,
 
 
 def near_dedup_keep_first(ds, id_col: str, text_col: str,
-                          threshold: float = 0.8, method: str = "distributed",
+                          threshold: float = 0.8, method: str = "auto",
+                          driver_pair_limit: int = 2_000_000,
                           **lsh_kwargs):
     """Full near-dedup: MinHash-LSH pairs → connected components →
     drop every member except the smallest doc_id.  Returns the
     surviving Dataset.
 
-    ``method="distributed"`` (default): min-label propagation — no
-    driver-side pair collection anywhere, the 100-TB path.
+    ``method="auto"`` (default): size-aware — the verified pair set
+    is materialized anyway (the component stage consumes it several
+    times), so its exact count is free; at or below
+    ``driver_pair_limit`` (default 2M ≈ 32 MB of edges) components
+    run as driver union-find (every distributed round costs ~seconds
+    of shuffle-barrier overhead regardless of volume — pure waste on
+    the common near-dup case of a few thousand verified pairs), above
+    it min-label propagation.  Mirrors ``dedup_approx(payload="auto")``.
+    All methods produce identical survivors (parity-tested).
+    ``method="distributed"``: min-label propagation — no driver-side
+    pair collection anywhere, the 100-TB path.
     ``method="star"``: alternating large-star/small-star edge
     rewiring (:func:`star_components`) — same guarantees, better
-    per-round volume when the pair graph is large/dense.
-    ``method="driver"``: collect verified pairs (orders of magnitude
-    smaller than the corpus) and union-find on the driver — fine while
-    the PAIR set is driver-sized; kept as the parity reference."""
+    per-round volume when the pair graph is large/dense (measured
+    1.4× minlabel on a 143k-edge graph, scripts/bench_components.py).
+    ``method="driver"``: collect verified pairs and union-find on the
+    driver — fine while the PAIR set is driver-sized; also the parity
+    reference."""
     import ray
 
     num_partitions = lsh_kwargs.get("num_partitions", 8)
     pairs_ds = minhash_lsh_dedup(ds, id_col, text_col, threshold=threshold,
                                  **lsh_kwargs)
+    if method == "auto":
+        pairs_ds = pairs_ds.materialize()
+        n_pairs = pairs_ds.count()  # metadata read on materialized ds
+        method = "driver" if n_pairs <= driver_pair_limit else "distributed"
     if method in ("distributed", "star"):
         components = (minlabel_components if method == "distributed"
                       else star_components)

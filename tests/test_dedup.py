@@ -361,6 +361,31 @@ def test_star_components_empty_and_nonconvergence(ray_session):
         star_components(ds, max_rounds=2)
 
 
+def test_keep_first_auto_picks_by_pair_count(ray_session):
+    """method='auto' (new default) must produce the same survivors as
+    every explicit method, whichever side of driver_pair_limit it
+    lands on (limit=0 forces the distributed branch)."""
+    import ray.data as rd
+
+    from dabloomray.pipelines.dedup import near_dedup_keep_first
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = {0: base, 1: base, 2: base + " extra",
+            3: "totally different words here about other things "
+               "entirely with no overlap at all",
+            4: base}
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    want = sorted(r["doc_id"] for r in near_dedup_keep_first(
+        ds, "doc_id", "text", threshold=0.8, method="driver").take_all())
+    auto = sorted(r["doc_id"] for r in near_dedup_keep_first(
+        ds, "doc_id", "text", threshold=0.8).take_all())
+    forced = sorted(r["doc_id"] for r in near_dedup_keep_first(
+        ds, "doc_id", "text", threshold=0.8,
+        driver_pair_limit=0).take_all())
+    assert auto == want == forced
+
+
 def test_keep_first_star_equals_driver(ray_session):
     import ray.data as rd
 
