@@ -751,9 +751,10 @@ def _q_customers_by_region(sf_dir: str):
 def _typed_user_table(ds) -> pa.Table:
     schema = pa.schema([("user_id", pa.int64())])
     tabs = [pa.table({"user_id": pa.array([], pa.int64())}, schema=schema)]
-    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
-        if b.num_columns:
-            tabs.append(b.select(["user_id"]).cast(schema))
+    if ds is not None:
+        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            if b.num_columns:
+                tabs.append(b.select(["user_id"]).cast(schema))
     return pa.concat_tables(tabs)
 
 
@@ -774,11 +775,21 @@ def _set_op_sides(sf_dir: str):
     def first_row(g: pa.Table) -> pa.Table:
         return g.slice(0, 1)
 
+    from dabloomray.pipelines.dedup import drop_empty_blocks
+
     purch = ev.map_batches(only("purchase"), batch_format="pyarrow") \
         .groupby("user_id").map_groups(first_row, batch_format="pyarrow")
     err = ev.map_batches(only("error"), batch_format="pyarrow") \
         .map_batches(lambda t: t.rename_columns(["_eu"]),
                      batch_format="pyarrow")
+    # materialize BOTH sides before the set-op join: executed lazily,
+    # the groupby sort-shuffle, the err-side map and the join's own
+    # hash shuffle all contend for the same task slots (measured 108 s
+    # for the anti variant vs ~2 s with sequenced sides at sf0.1); the
+    # sides are distinct-user-sized, and the schema-changing rename
+    # needs the stale-empty-block strip before Dataset.join anyway
+    purch = drop_empty_blocks(purch.materialize())
+    err = drop_empty_blocks(err.materialize())
     return purch, err
 
 
@@ -787,6 +798,10 @@ def _q_big_purchasers_without_big_error(sf_dir: str):
     the set-ops row of SURVEY §2.6 alongside dedup/distinct): users
     with a >150 purchase and NO >150 error."""
     purch, err = _set_op_sides(sf_dir)
+    if purch is None:  # no qualifying purchases at all
+        return _typed_user_table(None)
+    if err is None:  # nothing to subtract
+        return _typed_user_table(purch)
     out = purch.join(err, join_type="left_anti", num_partitions=8,
                      on=("user_id",), right_on=("_eu",))
     # an all-empty result loses its schema (Ray empty-block wart);
@@ -798,6 +813,8 @@ def _q_big_purchasers_with_big_error(sf_dir: str):
     """Set INTERSECT as a distributed semi-join (left_semi): users
     with BOTH a >150 purchase and a >150 error."""
     purch, err = _set_op_sides(sf_dir)
+    if purch is None or err is None:  # empty intersection by contract
+        return _typed_user_table(None)
     out = purch.join(err, join_type="left_semi", num_partitions=8,
                      on=("user_id",), right_on=("_eu",))
     return _typed_user_table(out)
