@@ -31,8 +31,38 @@ from ..fixtures import splitmix64
 
 
 def _to_matrix(col) -> np.ndarray:
+    """list<float> column → (n, dim) float64 matrix.  Fast path reads
+    the flat Arrow values buffer in one shot (null-free uniform-width
+    lists — the embedding-column contract); anything else falls back
+    to the per-row stack."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    try:
+        if pa.types.is_fixed_size_list(col.type) and col.null_count == 0:
+            flat = col.values.to_numpy(zero_copy_only=False)
+            return flat.reshape(len(col),
+                                col.type.list_size).astype(np.float64)
+        if pa.types.is_list(col.type) and col.null_count == 0 and len(col):
+            offs = col.offsets.to_numpy()
+            widths = np.diff(offs)
+            if (widths == widths[0]).all() and widths[0] > 0:
+                flat = col.values.to_numpy(zero_copy_only=False)
+                return flat[offs[0]:offs[-1]].reshape(
+                    len(col), widths[0]).astype(np.float64)
+    except (pa.ArrowInvalid, ValueError):  # fall through to row path
+        pass
     arrs = col.to_numpy(zero_copy_only=False)
     return np.stack([np.asarray(a, dtype=np.float64) for a in arrs])
+
+
+def _vec_list_array(m: np.ndarray) -> pa.ListArray:
+    """(n, dim) matrix → list<double> Arrow array without per-row
+    Python (one flat values buffer + an arange offsets vector)."""
+    n, d = m.shape
+    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32),
+                       pa.int32())
+    return pa.ListArray.from_arrays(
+        offsets, pa.array(np.ascontiguousarray(m).ravel(), pa.float64()))
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -132,8 +162,7 @@ class _BlockPairExplode:
             "pair_key": pa.array(pair_key),
             "blk": pa.array(np.repeat(b, nb).astype(np.int32)),
             "vec_id": pa.array(np.repeat(ids, nb), pa.int64()),
-            "vec": pa.array(list(np.repeat(m, nb, axis=0)),
-                            pa.list_(pa.float64())),
+            "vec": _vec_list_array(np.repeat(m, nb, axis=0)),
         })
 
 
@@ -341,7 +370,7 @@ class _AssignBucket:
         b = np.argmax(m @ self.cents.T, axis=1).astype(np.int32)
         return pa.table({"bucket": pa.array(b),
                          "vec_id": pa.array(ids, pa.int64()),
-                         "vec": pa.array(list(m), pa.list_(pa.float64()))})
+                         "vec": _vec_list_array(m)})
 
 
 def ivf_knn(ds, query_ids, id_col: str, vec_col: str, k: int = 10,
@@ -473,8 +502,7 @@ class _LshBucket:
         ids = batch.column(self.id_col).to_numpy().astype(np.int64)
         m = _normalize(_to_matrix(batch.column(self.vec_col)))
         ntables = len(self.planes)
-        vecs = pa.array(list(np.tile(m, (ntables, 1))),
-                        pa.list_(pa.float64()))
+        vecs = _vec_list_array(np.tile(m, (ntables, 1)))
         tables, buckets = [], []
         pow2 = 1 << np.arange(self.nbits, dtype=np.int64)
         for t, planes in enumerate(self.planes):
