@@ -894,6 +894,47 @@ def _q_docs_as_images_dims(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_docs_as_png_dims(sf_dir: str):
+    """PNG sibling of ``docs_as_images_dims`` (VERDICT r4 #5): the
+    same (doc_id, n_chars) dimension arithmetic, but each payload is a
+    REAL compressed PNG (stages/codecs.py stdlib-zlib + numpy codec),
+    with the scanline filter type cycling over doc_id % 5 so all five
+    PNG unfilter paths run inside the distributed decode.  ImageDecode
+    resolves dims through the decoder REGISTRY's built-in png entry —
+    a hash-match proves the registry path end-to-end."""
+    from dabloomray.stages.codecs import encode_png
+    from dabloomray.stages.multimodal import ImageDecode
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        nc = t.column("n_chars").to_numpy()
+        heights = nc % 29 + 4
+        widths = ids % 31 + 4
+        blobs = []
+        for i, (h, w) in enumerate(zip(heights, widths)):
+            img = ((np.arange(int(h))[:, None] + np.arange(int(w))[None, :])
+                   % 256).astype(np.uint8)
+            blobs.append(encode_png(np.repeat(img[:, :, None], 3, axis=2),
+                                    filter_type=int(ids[i]) % 5))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "content": pa.array(blobs, pa.binary())})
+
+    media = docs.map_batches(synth, batch_format="pyarrow")
+    out = media.map_batches(ImageDecode, batch_format="pyarrow",
+                            concurrency=(1, 4))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "height": t.column("height").cast(pa.int64()),
+            "width": t.column("width").cast(pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_docs_hash_sample(sf_dir: str):
     """Deterministic hash-Bernoulli sample (SURVEY.md §2.6 sampling):
     keep docs with murmur64(text) below 20% of the hash space —
@@ -946,6 +987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_sample": _q_docs_hash_sample,
         "docs_shingle_fingerprint": _q_docs_shingle_fingerprint,
         "docs_as_images_dims": _q_docs_as_images_dims,
+        "docs_as_png_dims": _q_docs_as_png_dims,
         "near_dedup_threshold1": _q_near_dedup_threshold1,
         "big_purchasers_without_big_error": _q_big_purchasers_without_big_error,
         "big_purchasers_with_big_error": _q_big_purchasers_with_big_error,
@@ -1203,6 +1245,10 @@ def oracle_sql() -> dict[str, str]:
         "nchars_quantiles_kll_exact": _KLL_EXACT_SQL,
         "value_quantiles_tdigest_exact": _TDIGEST_EXACT_SQL,
         "docs_as_images_dims": (
+            "SELECT doc_id, n_chars % 29 + 4 AS height, "
+            "doc_id % 31 + 4 AS width FROM documents"
+        ),
+        "docs_as_png_dims": (
             "SELECT doc_id, n_chars % 29 + 4 AS height, "
             "doc_id % 31 + 4 AS width FROM documents"
         ),

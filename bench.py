@@ -366,8 +366,26 @@ def main() -> None:
         "dedup_unique_frac": state.get("dedup_unique_frac"),
         "hll_distinct_est": round(state["distinct_est"])
         if "distinct_est" in state else None,
+        # VERDICT r4 #7: the scaling claim rides INSIDE the main
+        # artifact — latest `bench.py --scaling` result (efficiency +
+        # hardware-envelope control), persisted by scaling() to
+        # BENCH_SCALING.json and committed, so BENCH_r{N} is
+        # self-contained rather than pointing at BASELINE.md prose.
+        "scaling": _load_scaling_block(),
     }))
     ray.shutdown()
+
+
+_SCALING_JSON = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_SCALING.json")
+
+
+def _load_scaling_block():
+    try:
+        with open(_SCALING_JSON) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
 
 
 def scaling() -> None:
@@ -465,7 +483,7 @@ def scaling() -> None:
     ratios = sorted(control_ratios)
     control_speedup = ratios[len(ratios) // 2] if ratios else None
     eff = round((t_lo / t_hi) / factor, 3)
-    print(json.dumps({
+    payload = {
         "cpus": [lo, hi],
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
@@ -486,7 +504,15 @@ def scaling() -> None:
         f"runs_{hi}": all_runs[hi],
         f"urls_per_sec_{lo}": results[lo]["urls_per_sec"],
         f"urls_per_sec_{hi}": results[hi]["urls_per_sec"],
-    }))
+    }
+    payload["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    print(json.dumps(payload))
+    # persist so the next plain `bench.py` run embeds it (r4 #7)
+    try:
+        with open(_SCALING_JSON, "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -503,15 +503,25 @@ class _BlockMaskFilter:
     Two LRU layers make the worst case cheap: per-block int64 arrays,
     plus the MERGED span keyed by (i0, i1) — a randomly-ordered
     target asks for the full span every batch, so the merge (and the
-    fetches under it) happens once per actor, not once per batch."""
+    fetches under it) happens once per actor, not once per batch.
+
+    The merged-span memo is CAPPED (VERDICT r4 #4): a span wider than
+    ``span_cap_bytes`` (default 64 MB of int64 ids) is never
+    concatenated — membership against range-disjoint sorted blocks
+    decomposes per block, so the batch is filtered block-by-block
+    instead, holding one block at a time.  Peak actor memory stays
+    bounded even when the target is fully random-order."""
 
     def __init__(self, refs, los: np.ndarray, his: np.ndarray,
-                 seq_col: str, cache_blocks: int = 8,
-                 cache_spans: int = 4):
+                 seq_col: str, rows: np.ndarray | None = None,
+                 cache_blocks: int = 8, cache_spans: int = 4,
+                 span_cap_bytes: int = 64 << 20):
         self.refs = refs
         self.los = los  # ascending per-block min seq
         self.his = his  # ascending per-block max seq
         self.seq_col = seq_col
+        self.rows = rows  # per-block row counts (for the span cap)
+        self.span_cap_bytes = span_cap_bytes
         self.blocks = _LruDict(cache_blocks)
         self.spans = _LruDict(cache_spans)
 
@@ -537,6 +547,20 @@ class _BlockMaskFilter:
             return batch.slice(0, 0)
         if i1 - i0 == 1:
             surv = self._block(i0)
+        elif (self.rows is not None
+              and int(self.rows[i0:i1].sum()) * 8 > self.span_cap_bytes):
+            # span too wide to hold: membership is per-block
+            # decomposable (blocks are range-disjoint), so test each
+            # block in turn — one block resident at a time
+            keep = np.zeros(len(seqs), dtype=bool)
+            for i in range(i0, i1):
+                surv = self._block(i)
+                if len(surv) == 0:
+                    continue
+                pos = np.minimum(np.searchsorted(surv, seqs),
+                                 len(surv) - 1)
+                keep |= surv[pos] == seqs
+            return batch.filter(pa.array(keep))
         else:
             # blocks are range-disjoint and internally sorted ⇒ the
             # concatenation is sorted; memoized per span
@@ -557,10 +581,12 @@ def _blockmask_filter(target, survivors_ds, seq_col: str,
     import ray
 
     srt = survivors_ds.sort("seq").materialize()
-    refs = [ref
-            for bundle in srt.iter_internal_ref_bundles()
-            for ref, md in zip(bundle.block_refs, bundle.metadata)
-            if md.num_rows]
+    refs, nrows = [], []
+    for bundle in srt.iter_internal_ref_bundles():
+        for ref, md in zip(bundle.block_refs, bundle.metadata):
+            if md.num_rows:
+                refs.append(ref)
+                nrows.append(md.num_rows)
     if not refs:
         return target.map_batches(lambda t: t.slice(0, 0),
                                   batch_format="pyarrow")
@@ -576,13 +602,14 @@ def _blockmask_filter(target, survivors_ds, seq_col: str,
     bl = ray.get([bounds.remote(r) for r in refs])
     los = np.array([b[0] for b in bl], dtype=np.int64)
     his = np.array([b[1] for b in bl], dtype=np.int64)
+    rows = np.array(nrows, dtype=np.int64)
     order = np.argsort(los, kind="stable")
     refs = [refs[i] for i in order]
-    los, his = los[order], his[order]
+    los, his, rows = los[order], his[order], rows[order]
     return target.map_batches(
         _BlockMaskFilter,
         fn_constructor_kwargs={"refs": refs, "los": los, "his": his,
-                               "seq_col": seq_col},
+                               "rows": rows, "seq_col": seq_col},
         batch_format="pyarrow", concurrency=concurrency,
     )
 

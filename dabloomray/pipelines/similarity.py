@@ -78,6 +78,8 @@ def collect_embeddings(ds, id_col: str, vec_col: str):
             batch_size=None, batch_format="pyarrow"):
         ids.append(b.column(id_col).to_numpy())
         mats.append(_to_matrix(b.column(vec_col)))
+    if not ids:  # empty dataset: iter_batches yields nothing
+        return np.zeros(0, dtype=np.int64), np.zeros((0, 0))
     ids = np.concatenate(ids)
     order = np.argsort(ids)
     return ids[order], _normalize(np.concatenate(mats))[order]
@@ -194,9 +196,19 @@ def blocked_cosine_pairs(ds, id_col: str, vec_col: str,
 
         cpus = int(ray.cluster_resources().get("CPU", 8)) \
             if ray.is_initialized() else 8
-        n = ds.count()  # parquet metadata read — cheap
-        n_blocks = max(4, int(round((2 * cpus) ** 0.5)),
-                       -(-n // 250_000))
+        # Row count only refines task granularity — the OUTPUT is
+        # identical for any n_blocks — so never pay an execution for
+        # it: use the metadata-only count (parquet reads know it,
+        # post-map pipelines return None) and fall back to CPU-based
+        # sizing alone (ADVICE r4: ds.count() on a non-parquet input
+        # would execute the whole upstream pipeline twice).
+        try:
+            n = ds._meta_count()
+        except Exception:
+            n = None
+        n_blocks = max(4, int(round((2 * cpus) ** 0.5)))
+        if n is not None:
+            n_blocks = max(n_blocks, -(-int(n) // 250_000))
     exploded = ds.map_batches(
         _BlockPairExplode,
         fn_constructor_kwargs={"id_col": id_col, "vec_col": vec_col,
@@ -393,11 +405,23 @@ def ivf_knn(ds, query_ids, id_col: str, vec_col: str, k: int = 10,
     Returns a Dataset of (query_id, neighbor_id, cos_sim) —
     approximate (recall asserted in tests vs brute force)."""
     import ray
+    import ray.data as rd
+
+    def _empty_result():
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "cos_sim": pa.array([], pa.float64()),
+        }))
 
     n = ds.count()
+    if n == 0:  # degenerate sweep (VERDICT r4 #3): nothing to scan
+        return _empty_result()
     frac = min(1.0, train_target / max(n, 1))
     sample = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
     _, smat = collect_embeddings(sample, id_col, vec_col)
+    if len(smat) == 0:  # sampling can return zero rows on tiny inputs
+        _, smat = collect_embeddings(ds, id_col, vec_col)
     cents = _kmeans(smat, nlist)
     cents_ref = ray.put(cents)
 
@@ -407,10 +431,13 @@ def ivf_knn(ds, query_ids, id_col: str, vec_col: str, k: int = 10,
         ids = batch.column(id_col).to_numpy()
         return batch.filter(pa.array(np.isin(ids, qset)))
 
-    qtab = pa.concat_tables(list(
+    qtabs = list(
         ds.map_batches(is_query, batch_format="pyarrow")
         .select_columns([id_col, vec_col])
-        .iter_batches(batch_size=None, batch_format="pyarrow")))
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not qtabs:  # none of the query ids exist in the corpus
+        return _empty_result()
+    qtab = pa.concat_tables(qtabs)
     qids = qtab.column(id_col).to_numpy().astype(np.int64)
     qm = _normalize(_to_matrix(qtab.column(vec_col)))
     probes = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]

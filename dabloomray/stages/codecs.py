@@ -2,11 +2,13 @@
 no external libraries.
 
 The sandbox has no PIL/ffmpeg, but nothing stops honest decoding of
-the uncompressed public formats: netpbm **P6 PPM** (binary RGB),
+the library-free public formats: netpbm **P6 PPM** (binary RGB),
 **24-bit BI_RGB BMP** (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up
-BGR rows padded to 4 bytes), and **PCM-16 RIFF/WAVE**.  Each decoder
-parses the real header and returns numpy arrays; matching encoders
-exist so tests can round-trip.  Compressed formats (JPEG/PNG/MP4...)
+BGR rows padded to 4 bytes), **PCM-16 RIFF/WAVE**, and — since round
+5 — **8-bit non-interlaced PNG** (DEFLATE is stdlib ``zlib``; the five
+scanline filters are numpy arithmetic).  Each decoder parses the real
+header and returns numpy arrays; matching encoders exist so tests can
+round-trip.  The remaining compressed formats (JPEG/GIF/WEBP/MP4)
 still require the absent libraries — `sniff` IDENTIFIES them by magic
 so a pluggable decoder can claim them (`multimodal.register_decoder`),
 and without one the multimodal stages fall back to their loudly-marked
@@ -14,7 +16,8 @@ fakes.  Treat `sniff(b) is not None` as "format identified", NOT
 "decodable here".
 
 Format references (public): netpbm man pages (ppm(5)); Windows BMP
-file format docs; RIFF/WAVE multimedia programming interface spec.
+file format docs; RIFF/WAVE multimedia programming interface spec;
+W3C PNG specification / RFC 2083.
 """
 
 from __future__ import annotations
@@ -225,6 +228,206 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
             + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
+
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit, non-interlaced; stdlib zlib + numpy unfilter)
+# ---------------------------------------------------------------------------
+# VERDICT r4 #5: PNG is decodable with zero external libraries —
+# DEFLATE is stdlib ``zlib`` and the five scanline filters are spec'd
+# arithmetic (W3C PNG spec / RFC 2083 §6).  Supported: bit depth 8,
+# color types 0 (gray), 2 (RGB), 3 (palette→RGB), 4 (gray+alpha),
+# 6 (RGBA), interlace 0.  16-bit and Adam7 raise ValueError (callers
+# treat that as "not decodable here").
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # type 3: 1 index byte
+
+
+def _png_chunks(buf: bytes):
+    """Yield (type, data) over the chunk stream; validates lengths
+    (CRCs are trusted — corruption surfaces as a zlib/shape error)."""
+    import struct as _s
+
+    pos, n = 8, len(buf)
+    while pos + 8 <= n:
+        (clen,), ctype = _s.unpack_from(">I", buf, pos), buf[pos + 4:pos + 8]
+        pos += 8
+        if pos + clen + 4 > n:
+            raise ValueError("truncated PNG chunk")
+        yield ctype, buf[pos:pos + clen]
+        pos += clen + 4
+        if ctype == b"IEND":
+            return
+
+
+def _png_header(buf: bytes) -> tuple[int, int, int, int]:
+    """→ (width, height, bit_depth, color_type); validates support."""
+    if buf[:8] != _PNG_SIG or len(buf) < 33 or buf[12:16] != b"IHDR":
+        raise ValueError("not a PNG / missing IHDR")
+    w, h = struct.unpack_from(">II", buf, 16)
+    depth, ctype, comp, filt, interlace = struct.unpack_from("5B", buf, 24)
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PNG dimensions")
+    if depth != 8:
+        raise ValueError("only 8-bit PNG supported")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    if comp != 0 or filt != 0:
+        raise ValueError("non-standard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    return w, h, depth, ctype
+
+
+def png_dims(buf: bytes) -> tuple[int, int, int]:
+    """(height, width, out_channels) from IHDR alone — no inflate."""
+    w, h, _, ctype = _png_header(buf)
+    return h, w, 3 if ctype == 3 else _PNG_CHANNELS[ctype]
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse the per-scanline filters → (h, w*ch) uint8.  Sub/Up are
+    vectorized (cumsum-mod-256 / previous-row add); Average and Paeth
+    carry an intra-row dependency, so they loop over PIXELS with the
+    channel vector done in numpy."""
+    stride = w * ch
+    flat = np.frombuffer(raw, dtype=np.uint8)
+    if len(flat) < h * (stride + 1):
+        raise ValueError("truncated PNG scanlines")
+    lines = flat[: h * (stride + 1)].reshape(h, stride + 1)
+    ftypes = lines[:, 0]
+    data = lines[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = int(ftypes[y])
+        row = data[y].astype(np.int64)
+        if f == 0:  # None
+            rec = row
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
+            rec = (np.cumsum(row.reshape(w, ch), axis=0) % 256).ravel()
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f == 3:  # Average
+            rp, pv = row.reshape(w, ch), prev.reshape(w, ch)
+            rec = np.empty((w, ch), dtype=np.int64)
+            a = np.zeros(ch, dtype=np.int64)
+            for x in range(w):
+                a = (rp[x] + (a + pv[x]) // 2) % 256
+                rec[x] = a
+            rec = rec.ravel()
+        elif f == 4:  # Paeth
+            rp, pv = row.reshape(w, ch), prev.reshape(w, ch)
+            rec = np.empty((w, ch), dtype=np.int64)
+            a = np.zeros(ch, dtype=np.int64)
+            c = np.zeros(ch, dtype=np.int64)
+            for x in range(w):
+                b = pv[x]
+                p = a + b - c
+                da, db, dc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((da <= db) & (da <= dc), a,
+                                np.where(db <= dc, b, c))
+                a = (rp[x] + pred) % 256
+                rec[x] = a
+                c = b
+            rec = rec.ravel()
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = out[y].astype(np.int64)
+    return out
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG → (h, w, C) uint8 (C = 1/2/3/4;
+    palette images come back as RGB)."""
+    import zlib
+
+    w, h, _, ctype = _png_header(buf)
+    ch = _PNG_CHANNELS[ctype]
+    idat, plte = [], None
+    for kind, data in _png_chunks(buf):
+        if kind == b"IDAT":
+            idat.append(data)
+        elif kind == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8)
+    if not idat:
+        raise ValueError("PNG without IDAT")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as ex:
+        raise ValueError(f"bad PNG IDAT stream: {ex}") from None
+    img = _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG without valid PLTE")
+        pal = plte.reshape(-1, 3)
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        img = pal[idx]
+    return np.ascontiguousarray(img)
+
+
+def _png_filter_rows(img2d: np.ndarray, ch: int, ftype: int) -> np.ndarray:
+    """Apply ONE filter type to every row (encoder side; all five are
+    vectorizable here because they reference RAW neighbours).  uint8
+    wraparound subtraction implements the mod-256 arithmetic."""
+    h, stride = img2d.shape
+    w = stride // ch
+    px = img2d.reshape(h, w, ch).astype(np.int64)
+    left = np.zeros_like(px)
+    left[:, 1:] = px[:, :-1]
+    up = np.zeros_like(px)
+    up[1:] = px[:-1]
+    ul = np.zeros_like(px)
+    ul[1:, 1:] = px[:-1, :-1]
+    if ftype == 0:
+        pred = np.zeros_like(px)
+    elif ftype == 1:
+        pred = left
+    elif ftype == 2:
+        pred = up
+    elif ftype == 3:
+        pred = (left + up) // 2
+    elif ftype == 4:
+        p = left + up - ul
+        da, db, dc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        pred = np.where((da <= db) & (da <= dc), left,
+                        np.where(db <= dc, up, ul))
+    else:
+        raise ValueError(f"bad PNG filter type {ftype}")
+    return ((px - pred) % 256).astype(np.uint8).reshape(h, stride)
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0,
+               level: int = 6) -> bytes:
+    """Encode (h, w[, C]) uint8 → 8-bit non-interlaced PNG (C = 1 gray,
+    2 gray+alpha, 3 RGB, 4 RGBA).  ``filter_type`` applies one filter
+    to every scanline — exists so tests can round-trip each of the
+    five decode paths."""
+    import zlib
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    body = _png_filter_rows(img.reshape(h, w * ch), ch, filter_type)
+    lines = np.empty((h, w * ch + 1), dtype=np.uint8)
+    lines[:, 0] = filter_type
+    lines[:, 1:] = body
+    idat = zlib.compress(lines.tobytes(), level)
+
+    def chunk(kind: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(kind + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + kind + data \
+            + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
 
 
 # ---------------------------------------------------------------------------

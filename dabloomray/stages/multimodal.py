@@ -6,15 +6,17 @@ payloads: size batch_size so batch x concurrency fits worker heap).
 
 Decode reality, format by format:
 - **REAL, no libraries needed** (``stages/codecs.py`` pure-numpy
-  parsers): P6 PPM and 24-bit BMP images (decode, resize, features),
-  PCM-16 WAV audio (decode, rms/zero-crossing features), and
-  concatenated-P6 "video" streams (frame sampling).
+  parsers): P6 PPM, 24-bit BMP and 8-bit non-interlaced PNG images
+  (decode, resize, features — PNG rides the decoder registry as a
+  built-in), PCM-16 WAV audio (decode, rms/zero-crossing features),
+  and concatenated-P6 "video" streams (frame sampling).
 - **Real when the library exists**: PIL is used for other image
   formats if importable (it is not in this environment).
-- **STUB otherwise**: compressed formats (JPEG/PNG/MP4...) without
-  PIL/ffmpeg fall back to a DETERMINISTIC FAKE (pure function of the
-  bytes) that preserves schema, determinism and batch shape — marked
-  loudly, swap in the real decoder when the lib exists.
+- **STUB otherwise**: the remaining compressed formats
+  (JPEG/GIF/WEBP/MP4) without PIL/ffmpeg fall back to a DETERMINISTIC
+  FAKE (pure function of the bytes) that preserves schema, determinism
+  and batch shape — marked loudly, swap in the real decoder when the
+  lib exists.
 """
 
 from __future__ import annotations
@@ -29,10 +31,12 @@ from .codecs import (
     _ppm_header,
     bmp_dims,
     decode_bmp,
+    decode_png,
     decode_ppm,
     decode_wav,
     encode_ppm,
     image_features,
+    png_dims,
     ppm_dims,
     resize_nearest,
     sniff,
@@ -61,6 +65,16 @@ IMAGE_META_SCHEMA = [
 
 _DECODERS: dict[str, dict] = {}
 
+# REAL decoders routed through the registry itself (VERDICT r4 #5):
+# PNG decodes with stdlib zlib + numpy (codecs.decode_png), so it is
+# a genuine registry entry, registered at import time on every
+# process that loads this module (Ray workers included).  A user
+# register_decoder("png", ...) overrides it; unregister restores it.
+_BUILTIN_DECODERS: dict[str, dict] = {
+    "png": {"decode": decode_png, "dims": png_dims},
+}
+_DECODERS.update(_BUILTIN_DECODERS)
+
 
 def register_decoder(fmt: str, decode, dims=None) -> None:
     """Register ``decode: bytes -> HxWxC uint8 ndarray`` for a
@@ -75,6 +89,8 @@ def register_decoder(fmt: str, decode, dims=None) -> None:
 
 def unregister_decoder(fmt: str) -> None:
     _DECODERS.pop(fmt, None)
+    if fmt in _BUILTIN_DECODERS:  # built-ins are restored, not dropped
+        _DECODERS[fmt] = _BUILTIN_DECODERS[fmt]
 
 
 def _registry_decode(kind: str, blob: bytes) -> np.ndarray | None:

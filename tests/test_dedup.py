@@ -386,6 +386,27 @@ def test_keep_first_auto_picks_by_pair_count(ray_session):
     assert auto == want == forced
 
 
+def test_keep_first_zero_pairs_every_method(ray_session):
+    """r4 regression (VERDICT r4 #1): a clean corpus — zero verified
+    near-dup pairs — must pass through unchanged under EVERY method.
+    The r4 'auto' branch routed the empty pair set into the driver
+    union-find, where pa.concat_tables([]) raised ArrowInvalid."""
+    import pytest
+    import ray.data as rd
+
+    from dabloomray.pipelines.dedup import near_dedup_keep_first
+
+    docs = {0: "alpha beta gamma delta epsilon zeta eta theta",
+            1: "one two three four five six seven eight nine",
+            2: "red orange yellow green blue indigo violet hue",
+            3: "north south east west up down left right center"}
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    for method in ("auto", "driver", "distributed", "star"):
+        out = sorted(r["doc_id"] for r in near_dedup_keep_first(
+            ds, "doc_id", "text", threshold=0.8, method=method).take_all())
+        assert out == [0, 1, 2, 3], method
+
+
 def test_keep_first_star_equals_driver(ray_session):
     import ray.data as rd
 

@@ -309,3 +309,147 @@ def test_decoder_registry_plugs_in_without_editing_stages():
     # registry cleared -> jpeg back on the fake path
     dec4 = ImageDecode()(t)
     assert dec4.column("height").to_pylist()[0] >= 64
+
+
+# ---------------------------------------------------------------------------
+# PNG (VERDICT r4 #5: real decode via the registry)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_every_filter_and_channel():
+    """encode_png applies ONE filter to every scanline, so each of the
+    five spec filters (None/Sub/Up/Average/Paeth) gets its own decode
+    path exercised, across gray / gray+alpha / RGB / RGBA."""
+    from dabloomray.stages.codecs import decode_png, encode_png, png_dims
+
+    rng = np.random.default_rng(42)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(13, 9, ch), dtype=np.uint8)
+        for f in range(5):
+            blob = encode_png(img, filter_type=f)
+            assert sniff(blob) == "png"
+            assert png_dims(blob) == (13, 9, ch)
+            out = decode_png(blob)
+            assert out.shape == (13, 9, ch), (ch, f)
+            assert np.array_equal(out, img), (ch, f)
+
+
+def test_png_palette_decode():
+    """Color type 3: indices map through PLTE to RGB."""
+    import struct
+    import zlib
+
+    from dabloomray.stages.codecs import _PNG_SIG, decode_png, png_dims
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+                   dtype=np.uint8)
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    h, w = idx.shape
+    lines = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+
+    def chunk(kind, data):
+        return (struct.pack(">I", len(data)) + kind + data
+                + struct.pack(">I", zlib.crc32(kind + data) & 0xFFFFFFFF))
+
+    blob = (_PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", pal.tobytes())
+            + chunk(b"IDAT", zlib.compress(lines))
+            + chunk(b"IEND", b""))
+    assert png_dims(blob) == (h, w, 3)
+    assert np.array_equal(decode_png(blob), pal[idx])
+
+
+def test_png_rides_registry_as_builtin():
+    """PNG must be a REAL registry decoder out of the box: real dims
+    in ImageDecode (via the dims hook, no inflate), real resize and
+    features; unregister restores the built-in rather than dropping
+    to the fake."""
+    from dabloomray.stages.multimodal import (
+        _DECODERS,
+        _decode_image,
+        register_decoder,
+        unregister_decoder,
+    )
+    from dabloomray.stages.codecs import decode_png, encode_png
+
+    assert "png" in _DECODERS
+    img = gradient_img(20, 30)
+    blob = encode_png(img, filter_type=4)
+    t = pa.table({"media_id": pa.array([0], pa.int64()),
+                  "content": pa.array([blob], pa.binary())})
+    dec = ImageDecode()(t)
+    assert dec.column("height").to_pylist() == [20]
+    assert dec.column("width").to_pylist() == [30]
+    assert dec.column("n_channels").to_pylist() == [3]
+    assert np.array_equal(_decode_image(blob), img)
+    rez = ImageResize(10, 15)(t)
+    assert rez.column("resized_ok").to_pylist() == [True]
+    want = resize_nearest(img, 10, 15)
+    assert np.array_equal(decode_ppm(rez.column("resized")[0].as_py()), want)
+    # a user override wins; unregister restores the REAL built-in
+    try:
+        register_decoder("png", lambda b: np.zeros((2, 2, 3), np.uint8))
+        assert _decode_image(blob).shape == (2, 2, 3)
+    finally:
+        unregister_decoder("png")
+    assert np.array_equal(_decode_image(blob), img)
+
+
+def test_png_malformed_blobs_fall_back():
+    """Truncated/unsupported PNGs (bad IDAT, 16-bit, Adam7, bad filter
+    byte) must fall to the documented fake/pass-through paths."""
+    import struct
+    import zlib
+
+    from dabloomray.stages.codecs import _PNG_SIG, encode_png
+
+    def chunk(kind, data):
+        return (struct.pack(">I", len(data)) + kind + data
+                + struct.pack(">I", zlib.crc32(kind + data) & 0xFFFFFFFF))
+
+    def ihdr(depth=8, ctype=2, interlace=0):
+        return chunk(b"IHDR",
+                     struct.pack(">IIBBBBB", 4, 4, depth, ctype, 0, 0,
+                                 interlace))
+
+    bad = [
+        _PNG_SIG + b"short",                               # no IHDR
+        _PNG_SIG + ihdr(depth=16) + chunk(b"IEND", b""),   # 16-bit
+        _PNG_SIG + ihdr(interlace=1) + chunk(b"IEND", b""),  # Adam7
+        _PNG_SIG + ihdr() + chunk(b"IDAT", b"notzlib")
+        + chunk(b"IEND", b""),                             # bad stream
+        _PNG_SIG + ihdr()
+        + chunk(b"IDAT", zlib.compress(b"\x09" + b"\x00" * 12))
+        + chunk(b"IEND", b""),                             # filter 9
+        encode_png(gradient_img(6, 6))[:40],               # truncated
+    ]
+    t = pa.table({"media_id": pa.array(range(len(bad)), pa.int64()),
+                  "content": pa.array(bad, pa.binary())})
+    dec = ImageDecode()(t)  # never raises
+    heights = dec.column("height").to_pylist()
+    # blobs 0-2 have no usable IHDR (missing / 16-bit / Adam7) → fake
+    # dims; blobs 3-5 have an INTACT IHDR and ImageDecode is
+    # header-only by design → real dims even though the raster is junk
+    assert all(h >= 64 for h in heights[:3])
+    assert heights[3:] == [4, 4, 6]
+    rez = ImageResize(3, 3)(t)  # raster decode fails on ALL of them
+    assert rez.column("resized_ok").to_pylist() == [False] * len(bad)
+
+
+def test_png_distributed_decode(ray_session):
+    """Round-trip through a real Ray pipeline: encode with the tiny
+    writer, decode/resize/features on actor-pool stages."""
+    import ray.data as rd
+
+    from dabloomray.stages.codecs import encode_png
+
+    rows = [{"media_id": i,
+             "content": encode_png(gradient_img(8 + i, 6 + i, seed=i),
+                                   filter_type=i % 5)}
+            for i in range(10)]
+    ds = rd.from_items(rows).map_batches(ImageDecode, concurrency=2,
+                                         batch_format="pyarrow")
+    got = {r["media_id"]: (r["height"], r["width"], r["n_channels"])
+           for r in ds.take_all()}
+    assert got == {i: (8 + i, 6 + i, 3) for i in range(10)}

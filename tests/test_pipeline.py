@@ -390,3 +390,44 @@ def test_rangemask_refuses_foreign_dir(urls_ds, tmp_path):
                      num_partitions=4, payload="rangemask",
                      spill_dir=str(spill), range_buckets=8)
     assert (spill / "important.txt").read_text() == "do not delete"
+
+
+def test_blockmask_span_cap_bounds_memory(ray_session):
+    """VERDICT r4 #4: with the merged-span memo capped, a
+    randomly-ordered target is filtered block-by-block — peak actor
+    memory is one block, survivors byte-identical to the uncapped
+    path, and the span memo is never populated."""
+    import ray
+
+    from dabloomray.pipelines.core import _BlockMaskFilter
+
+    rng = np.random.default_rng(7)
+    # 4 range-disjoint sorted survivor blocks of 1000 ids each
+    blocks = [np.sort(rng.choice(np.arange(i * 10_000, (i + 1) * 10_000),
+                                 size=1000, replace=False))
+              for i in range(4)]
+    refs = [ray.put(pa.table({"seq": pa.array(b, pa.int64())}))
+            for b in blocks]
+    los = np.array([int(b[0]) for b in blocks], dtype=np.int64)
+    his = np.array([int(b[-1]) for b in blocks], dtype=np.int64)
+    rows = np.array([len(b) for b in blocks], dtype=np.int64)
+    # a fully random-order batch spanning all four blocks
+    seqs = rng.permutation(np.arange(0, 40_000))[:5000].astype(np.int64)
+    batch = pa.table({"seq": pa.array(seqs, pa.int64()),
+                      "payload": pa.array([f"p{i}" for i in seqs])})
+
+    uncapped = _BlockMaskFilter(refs, los, his, "seq", rows=rows)
+    capped = _BlockMaskFilter(refs, los, his, "seq", rows=rows,
+                              span_cap_bytes=1000 * 8)  # < 2 blocks
+    out_u = uncapped(batch)
+    out_c = capped(batch)
+    assert out_u.column("seq").to_pylist() == out_c.column("seq").to_pylist()
+    assert out_u.column("payload").to_pylist() == \
+        out_c.column("payload").to_pylist()
+    # oracle: numpy membership
+    want = seqs[np.isin(seqs, np.concatenate(blocks))]
+    assert out_c.column("seq").to_pylist() == list(want)
+    # the capped actor never concatenated a span...
+    assert len(capped.spans.d) == 0
+    # ...while the uncapped one memoized the full (0, 4) span
+    assert (0, 4) in uncapped.spans.d

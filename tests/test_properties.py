@@ -310,3 +310,21 @@ def test_codec_wav_roundtrip(n, channels, rate, seed):
     out, got_rate = decode_wav(encode_wav(samples, rate))
     assert got_rate == rate
     assert np.array_equal(out, samples)
+
+
+@settings(max_examples=40, deadline=None)
+@given(h=st.integers(min_value=1, max_value=20),
+       w=st.integers(min_value=1, max_value=20),
+       ch=st.sampled_from([1, 2, 3, 4]),
+       ftype=st.integers(min_value=0, max_value=4),
+       seed=st.integers(min_value=0, max_value=2**32 - 1))
+def test_codec_png_roundtrip(h, w, ch, ftype, seed):
+    """PNG encode→decode is lossless for any 8-bit image across every
+    channel count and every scanline filter type (VERDICT r4 #5)."""
+    from dabloomray.stages.codecs import decode_png, encode_png, png_dims
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    blob = encode_png(img, filter_type=ftype)
+    assert png_dims(blob) == (h, w, ch)
+    assert np.array_equal(decode_png(blob), img)
