@@ -6,9 +6,12 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "urls_per_sec": ...}
 
---scaling: runs the same bench in two fresh processes
-(RAY_GRAFT_CPUS=8 and =32) and prints throughputs + efficiency
-(BASELINE.md scaling criterion; sandbox proxy for N vs 4N nodes).
+--scaling: runs the headline pipeline in two fresh processes at
+GRAFT_SCALE_CPUS (default 2,8) and prints throughputs + efficiency +
+the hardware-envelope control (BASELINE.md scaling criterion; sandbox
+proxy for N vs 4N nodes).  The result is persisted to
+BENCH_SCALING.json and embedded under "scaling" in every subsequent
+plain run, so the driver's BENCH artifact is self-contained.
 """
 
 from __future__ import annotations
