@@ -935,6 +935,59 @@ def _q_docs_as_png_dims(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_docs_as_jpeg_decode(sf_dir: str):
+    """JPEG sibling of ``docs_as_png_dims`` with a stronger claim: the
+    payloads are REAL baseline JPEGs (stages/jpeg.py pure-numpy T.81
+    codec) and the query round-trips the full distributed ENTROPY
+    DECODE, not just the header: each doc becomes a constant-color
+    JPEG (dims and color pure arithmetic of doc_id/n_chars; encoder
+    knobs — 4:2:0 subsampling, restart intervals, non-interleaved
+    scans — cycle over doc_id so every decoder path runs).  A
+    constant block is DC-only and the quality-90 DC quantizer is
+    sub-half-level, so the decoded pixel is EXACTLY the encoded
+    arithmetic — hash-matched by the oracle alongside the dims that
+    ImageDecode reads through the registry's header-only jpeg hook."""
+    from dabloomray.stages.jpeg import encode_jpeg
+    from dabloomray.stages.multimodal import ImageDecode, _decode_image
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        nc = t.column("n_chars").to_numpy()
+        heights = nc % 29 + 4
+        widths = ids % 31 + 4
+        vals = ids % 199 + 17
+        blobs = []
+        for i, (h, w, v) in enumerate(zip(heights, widths, vals)):
+            img = np.full((int(h), int(w), 3), int(v), np.uint8)
+            blobs.append(encode_jpeg(
+                img, quality=90,
+                subsample=bool(ids[i] % 2),
+                restart_interval=int(ids[i]) % 3,
+                interleave=bool((ids[i] >> 1) % 2)))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "content": pa.array(blobs, pa.binary())})
+
+    media = docs.map_batches(synth, batch_format="pyarrow")
+    dims = media.map_batches(ImageDecode, batch_format="pyarrow",
+                             concurrency=(1, 4))
+
+    def pixel(t: pa.Table) -> pa.Table:
+        px = np.empty(len(t), np.int64)
+        for i, b in enumerate(t.column("content")):
+            img = _decode_image(b.as_py())
+            px[i] = int(img[0, 0, 0]) if img is not None else -1
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "height": t.column("height").cast(pa.int64()),
+            "width": t.column("width").cast(pa.int64()),
+            "pixel_value": pa.array(px, pa.int64()),
+        })
+
+    return dims.map_batches(pixel, batch_format="pyarrow")
+
+
 def _q_docs_hash_sample(sf_dir: str):
     """Deterministic hash-Bernoulli sample (SURVEY.md §2.6 sampling):
     keep docs with murmur64(text) below 20% of the hash space —
@@ -988,6 +1041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_shingle_fingerprint": _q_docs_shingle_fingerprint,
         "docs_as_images_dims": _q_docs_as_images_dims,
         "docs_as_png_dims": _q_docs_as_png_dims,
+        "docs_as_jpeg_decode": _q_docs_as_jpeg_decode,
         "near_dedup_threshold1": _q_near_dedup_threshold1,
         "big_purchasers_without_big_error": _q_big_purchasers_without_big_error,
         "big_purchasers_with_big_error": _q_big_purchasers_with_big_error,
@@ -1251,6 +1305,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_as_png_dims": (
             "SELECT doc_id, n_chars % 29 + 4 AS height, "
             "doc_id % 31 + 4 AS width FROM documents"
+        ),
+        "docs_as_jpeg_decode": (
+            "SELECT doc_id, n_chars % 29 + 4 AS height, "
+            "doc_id % 31 + 4 AS width, doc_id % 199 + 17 AS pixel_value "
+            "FROM documents"
         ),
         # value_quantiles_tdigest / nchars_quantiles_kll /
         # simhash_dedup_pairs / lang_id_counts / scaling_remove_stream:

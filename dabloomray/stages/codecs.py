@@ -6,18 +6,20 @@ the library-free public formats: netpbm **P6 PPM** (binary RGB),
 **24-bit BI_RGB BMP** (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up
 BGR rows padded to 4 bytes), **PCM-16 RIFF/WAVE**, and — since round
 5 — **8-bit non-interlaced PNG** (DEFLATE is stdlib ``zlib``; the five
-scanline filters are numpy arithmetic).  Each decoder parses the real
+scanline filters are numpy arithmetic) and **GIF** (87a/89a first
+frame; GIF-LZW is ~60 lines each way).  Each decoder parses the real
 header and returns numpy arrays; matching encoders exist so tests can
-round-trip.  The remaining compressed formats (JPEG/GIF/WEBP/MP4)
-still require the absent libraries — `sniff` IDENTIFIES them by magic
-so a pluggable decoder can claim them (`multimodal.register_decoder`),
-and without one the multimodal stages fall back to their loudly-marked
-fakes.  Treat `sniff(b) is not None` as "format identified", NOT
-"decodable here".
+round-trip.  Baseline JPEG has its own pure-numpy codec in
+``stages/jpeg.py`` (also registry-routed).  The remaining compressed
+formats (WEBP/MP4) genuinely require the absent libraries — `sniff`
+IDENTIFIES them by magic so a pluggable decoder can claim them
+(`multimodal.register_decoder`), and without one the multimodal
+stages fall back to their loudly-marked fakes.  Treat `sniff(b) is
+not None` as "format identified", NOT "decodable here".
 
 Format references (public): netpbm man pages (ppm(5)); Windows BMP
 file format docs; RIFF/WAVE multimedia programming interface spec;
-W3C PNG specification / RFC 2083.
+W3C PNG specification / RFC 2083; CompuServe GIF89a specification.
 """
 
 from __future__ import annotations
@@ -428,6 +430,505 @@ def encode_png(img: np.ndarray, filter_type: int = 0,
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
     return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
             + chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a, first frame; pure-Python LZW)
+# ---------------------------------------------------------------------------
+# Round 5: GIF needs no external library either — the container is
+# plain little-endian structs and GIF-LZW is ~60 lines each way.
+# Decode returns the FIRST frame composited onto the logical screen
+# (background-filled, honoring a GCE transparency index), which is
+# what still-image consumers of animated GIFs conventionally see.
+# Format reference (public): GIF89a specification (CompuServe, 1990).
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) passes
+
+
+def gif_dims(buf: bytes) -> tuple[int, int, int]:
+    """(height, width, 3) from the logical screen descriptor alone."""
+    if buf[:4] != b"GIF8" or len(buf) < 13:
+        raise ValueError("not a GIF / truncated header")
+    w, h = struct.unpack_from("<HH", buf, 6)
+    if w <= 0 or h <= 0:
+        raise ValueError("bad GIF dimensions")
+    return h, w, 3
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> np.ndarray:
+    """GIF-LZW (LSB-first variable-width codes) → uint8 index array.
+    Implements the full dictionary protocol: clear/end codes, width
+    growth at 2^width, the KwKwK case, and the 4096-entry cap."""
+    if not 2 <= mcs <= 8:
+        raise ValueError("bad GIF LZW min code size")
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    filled = 0
+    acc = nbits = pos = 0
+    width = mcs + 1
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def reset_table():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = mcs + 1
+        prev = None
+
+    reset_table()
+    n = len(data)
+    while filled < n_pixels:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("GIF LZW stream underrun")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset_table()
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("GIF LZW code out of range")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        take = min(len(entry), n_pixels - filled)
+        out[filled:filled + take] = np.frombuffer(entry[:take], np.uint8)
+        filled += take
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if filled < n_pixels:
+        raise ValueError("GIF frame ended short of its pixel count")
+    return out
+
+
+def decode_gif(buf: bytes) -> np.ndarray:
+    """First frame → (screen_h, screen_w, 3) uint8 RGB, composited at
+    its (left, top) onto the background-filled logical screen."""
+    h, w, _ = gif_dims(buf)
+    packed, bg = buf[10], buf[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 3 * (2 << (packed & 0x07))
+        gct = np.frombuffer(buf, np.uint8, size, pos).reshape(-1, 3)
+        pos += size
+    transparent = None
+    while pos < len(buf):
+        block = buf[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos + 2 > len(buf):
+                raise ValueError("truncated GIF extension")
+            label = buf[pos + 1]
+            pos += 2
+            # graphic control: transparency index for the NEXT image
+            if label == 0xF9 and pos + 1 < len(buf) and buf[pos] >= 4:
+                if buf[pos + 1] & 0x01:
+                    transparent = buf[pos + 4]
+            while pos < len(buf) and buf[pos]:  # skip sub-blocks
+                pos += 1 + buf[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(buf):
+                raise ValueError("truncated GIF image descriptor")
+            left, top, iw, ih = struct.unpack_from("<HHHH", buf, pos + 1)
+            ipacked = buf[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:  # local color table wins
+                size = 3 * (2 << (ipacked & 0x07))
+                pal = np.frombuffer(buf, np.uint8, size, pos).reshape(-1, 3)
+                pos += size
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            if iw <= 0 or ih <= 0:
+                raise ValueError("bad GIF frame dimensions")
+            mcs = buf[pos]
+            pos += 1
+            chunks = []
+            while pos < len(buf) and buf[pos]:
+                ln = buf[pos]
+                chunks.append(buf[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(b"".join(chunks), mcs, iw * ih) \
+                .reshape(ih, iw)
+            if ipacked & 0x40:  # interlaced: reorder passes
+                rows = np.empty(ih, dtype=np.int64)
+                k = 0
+                for start, step in _GIF_INTERLACE:
+                    cnt = len(range(start, ih, step))
+                    rows[start:ih:step] = np.arange(k, k + cnt)
+                    k += cnt
+                idx = idx[rows]
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("GIF index out of palette range")
+            screen = np.zeros((h, w, 3), dtype=np.uint8)
+            if gct is not None and bg < len(gct):
+                screen[:, :] = gct[bg]
+            y0, x0 = min(top, h), min(left, w)
+            y1, x1 = min(top + ih, h), min(left + iw, w)
+            sub = idx[: y1 - y0, : x1 - x0]
+            patch = pal[sub]
+            if transparent is not None:
+                keep = sub != transparent
+                screen[y0:y1, x0:x1][keep] = patch[keep]
+            else:
+                screen[y0:y1, x0:x1] = patch
+            return screen
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF without an image frame")
+
+
+def _gif_lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
+    """Real GIF-LZW compression (dictionary (prefix, byte) → code),
+    LSB-first variable-width output with clear-code resets at 4096."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[int, int] = {}
+    next_code = end + 1
+    width = mcs + 1
+    emit(clear, width)
+    cur = -1
+    for px in indices.ravel():
+        px = int(px)
+        if cur < 0:
+            cur = px
+            continue
+        key = (cur << 8) | px
+        nxt = table.get(key)
+        if nxt is not None:
+            cur = nxt
+            continue
+        emit(cur, width)
+        table[key] = next_code
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code > 4095:
+            emit(clear, width)
+            table.clear()
+            next_code = end + 1
+            width = mcs + 1
+        cur = px
+    if cur >= 0:
+        emit(cur, width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(img: np.ndarray, interlace: bool = False,
+               transparent_color=None) -> bytes:
+    """(h, w[, 3]) uint8 → single-frame GIF (87a; 89a + GCE when a
+    ``transparent_color`` RGB triple is given).  The image must use
+    ≤ 256 distinct colors (it is palletized losslessly — GIF is a
+    palette format; quantization is out of scope).  ``interlace``
+    exists so tests can drive the 4-pass decode reorder."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w, ch = img.shape
+    if ch != 3 or h <= 0 or w <= 0 or h > 0xFFFF or w > 0xFFFF:
+        raise ValueError("encode_gif wants (h, w, 3) uint8")
+    packed = (img[:, :, 0].astype(np.uint32) << 16) \
+        | (img[:, :, 1].astype(np.uint32) << 8) | img[:, :, 2]
+    colors, idx = np.unique(packed, return_inverse=True)
+    if transparent_color is not None:
+        tc = (int(transparent_color[0]) << 16) \
+            | (int(transparent_color[1]) << 8) | int(transparent_color[2])
+        if tc not in colors:
+            raise ValueError("transparent_color not present in image")
+    if len(colors) > 256:
+        raise ValueError("GIF needs <= 256 distinct colors")
+    depth = max(1, int(len(colors) - 1).bit_length())  # GCT is 2^depth
+    pal = np.zeros((1 << depth, 3), dtype=np.uint8)
+    pal[:len(colors), 0] = colors >> 16
+    pal[:len(colors), 1] = (colors >> 8) & 0xFF
+    pal[:len(colors), 2] = colors & 0xFF
+    idx = idx.reshape(h, w).astype(np.uint8)
+    if interlace:
+        order = np.concatenate([np.arange(s, h, t)
+                                for s, t in _GIF_INTERLACE])
+        idx = idx[order]
+    mcs = max(2, depth)
+    lzw = _gif_lzw_encode(idx, mcs)
+    out = bytearray(b"GIF89a" if transparent_color is not None
+                    else b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (depth - 1), 0, 0])  # GCT flag+size, bg 0
+    out += pal.tobytes()
+    if transparent_color is not None:
+        t_idx = int(np.searchsorted(colors, tc))
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, t_idx, 0])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00, mcs])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO BMFF container: REAL demux, no codec)
+# ---------------------------------------------------------------------------
+# Round 5: the MP4 *container* is plain big-endian box parsing — only
+# the codec payload (H.264 etc.) needs the absent libraries.  So the
+# honest split is: REAL track dims (tkhd), REAL sample demux
+# (stsc/stsz/stco walk → per-sample byte ranges into mdat, which is
+# exactly what FrameSample needs to emit real encoded-frame blobs),
+# and NO pixel decode (the registry entry returns None for pixels, so
+# resize/features keep their documented fallback).
+# Format reference (public): ISO/IEC 14496-12 (ISO base media format).
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) over one box level."""
+    pos = start
+    while pos + 8 <= end:
+        (size,), btype = struct.unpack_from(">I", buf, pos), \
+            buf[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if body + 8 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError("bad MP4 box size")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _mp4_find(buf: bytes, start: int, end: int, *path: bytes):
+    """First box at ``path`` (e.g. b'moov', b'trak') → (lo, hi)."""
+    for btype, lo, hi in _mp4_boxes(buf, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return lo, hi
+            found = _mp4_find(buf, lo, hi, *path[1:])
+            if found is not None:
+                return found
+    return None
+
+
+def _mp4_video_trak(buf: bytes) -> tuple[int, int]:
+    """(lo, hi) of the first 'vide'-handler trak (fallback: first
+    trak), raising if the file has no moov/trak at all."""
+    moov = _mp4_find(buf, 0, len(buf), b"moov")
+    if moov is None:
+        raise ValueError("MP4 without moov")
+    first = None
+    for btype, lo, hi in _mp4_boxes(buf, *moov):
+        if btype != b"trak":
+            continue
+        first = first or (lo, hi)
+        hdlr = _mp4_find(buf, lo, hi, b"mdia", b"hdlr")
+        if hdlr and buf[hdlr[0] + 8:hdlr[0] + 12] == b"vide":
+            return lo, hi
+    if first is None:
+        raise ValueError("MP4 without trak")
+    return first
+
+
+def mp4_dims(buf: bytes) -> tuple[int, int, int]:
+    """(height, width, 3) from the video track's tkhd (16.16 fixed) —
+    container parse only, nothing decoded."""
+    if buf[4:8] != b"ftyp":
+        raise ValueError("not an MP4")
+    trak = _mp4_video_trak(buf)
+    tkhd = _mp4_find(buf, trak[0], trak[1], b"tkhd")
+    if tkhd is None:
+        raise ValueError("MP4 trak without tkhd")
+    lo, hi = tkhd
+    version = buf[lo]
+    off = lo + (88 if version == 1 else 76)
+    if off + 8 > hi:
+        raise ValueError("truncated tkhd")
+    w16, h16 = struct.unpack_from(">II", buf, off)
+    w, h = w16 >> 16, h16 >> 16
+    if w <= 0 or h <= 0:
+        raise ValueError("bad MP4 track dimensions")
+    return h, w, 3
+
+
+def mp4_sample_ranges(buf: bytes) -> list[tuple[int, int]]:
+    """REAL demux: (offset, size) of every sample of the video track,
+    from the sample-table trio — stsc (samples per chunk runs), stco/
+    co64 (chunk offsets), stsz (sample sizes).  The returned spans
+    index straight into ``buf`` (mdat), so ``buf[off:off+size]`` IS
+    the encoded frame."""
+    if buf[4:8] != b"ftyp":
+        raise ValueError("not an MP4")
+    trak = _mp4_video_trak(buf)
+    stbl = _mp4_find(buf, trak[0], trak[1], b"mdia", b"minf", b"stbl")
+    if stbl is None:
+        raise ValueError("MP4 trak without stbl")
+    boxes = {t: (lo, hi) for t, lo, hi in _mp4_boxes(buf, *stbl)}
+    if b"stsz" not in boxes or b"stsc" not in boxes \
+            or (b"stco" not in boxes and b"co64" not in boxes):
+        raise ValueError("MP4 sample table incomplete")
+    lo, hi = boxes[b"stsz"]
+    fixed, count = struct.unpack_from(">II", buf, lo + 4)
+    if fixed:
+        sizes = np.full(count, fixed, dtype=np.int64)
+    else:
+        sizes = np.frombuffer(buf, ">u4", count, lo + 12).astype(np.int64)
+    if b"stco" in boxes:
+        lo, hi = boxes[b"stco"]
+        (nchunks,) = struct.unpack_from(">I", buf, lo + 4)
+        offsets = np.frombuffer(buf, ">u4", nchunks, lo + 8).astype(np.int64)
+    else:
+        lo, hi = boxes[b"co64"]
+        (nchunks,) = struct.unpack_from(">I", buf, lo + 4)
+        offsets = np.frombuffer(buf, ">u8", nchunks, lo + 8).astype(np.int64)
+    lo, hi = boxes[b"stsc"]
+    (nruns,) = struct.unpack_from(">I", buf, lo + 4)
+    runs = [struct.unpack_from(">III", buf, lo + 8 + 12 * i)
+            for i in range(nruns)]
+    # expand stsc runs → samples-per-chunk for every chunk
+    spc = np.empty(nchunks, dtype=np.int64)
+    for i, (first, per, _desc) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < nruns else nchunks
+        if not 1 <= first <= nchunks or first > last:
+            raise ValueError("bad MP4 stsc run")
+        spc[first - 1:last] = per
+    out: list[tuple[int, int]] = []
+    si = 0
+    for ci in range(nchunks):
+        pos = int(offsets[ci])
+        for _ in range(int(spc[ci])):
+            if si >= count:
+                break
+            size = int(sizes[si])
+            if pos + size > len(buf):
+                raise ValueError("MP4 sample past end of file")
+            out.append((pos, size))
+            pos += size
+            si += 1
+    if si != count:
+        raise ValueError("MP4 chunk map covers fewer samples than stsz")
+    return out
+
+
+def encode_mp4(frames: list[bytes], width: int, height: int,
+               chunk_size: int = 3) -> bytes:
+    """Minimal valid ISO-BMFF file holding ``frames`` as the samples
+    of one video track (opaque codec payload — this writer exists so
+    tests can round-trip the REAL demux path).  ``chunk_size`` packs
+    that many samples per chunk so stsc run expansion is exercised."""
+    if not frames or width <= 0 or height <= 0:
+        raise ValueError("encode_mp4 wants frames and positive dims")
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_payload = b"".join(frames)
+    mdat_off = len(ftyp) + 8  # first sample lands here
+    mdat = _mp4_box(b"mdat", mdat_payload)
+    n = len(frames)
+    nchunks = -(-n // chunk_size)
+    offsets, pos = [], mdat_off
+    sizes = [len(f) for f in frames]
+    for ci in range(nchunks):
+        offsets.append(pos)
+        pos += sum(sizes[ci * chunk_size:(ci + 1) * chunk_size])
+    stsz = _mp4_box(b"stsz", struct.pack(">III", 0, 0, n)
+                    + b"".join(struct.pack(">I", s) for s in sizes))
+    stco = _mp4_box(b"stco", struct.pack(">II", 0, nchunks)
+                    + b"".join(struct.pack(">I", o) for o in offsets))
+    last_per = n - (nchunks - 1) * chunk_size
+    if nchunks > 1 and last_per != chunk_size:
+        stsc_runs = [(1, chunk_size, 1), (nchunks, last_per, 1)]
+    else:
+        stsc_runs = [(1, min(chunk_size, n), 1)]
+    stsc = _mp4_box(b"stsc", struct.pack(">II", 0, len(stsc_runs))
+                    + b"".join(struct.pack(">III", *r) for r in stsc_runs))
+    stts = _mp4_box(b"stts", struct.pack(">IIII", 0, 1, n, 1))
+    stsd = _mp4_box(b"stsd", struct.pack(">II", 0, 0))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _mp4_box(b"minf", stbl)
+    hdlr = _mp4_box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"\x00")
+    mdhd = _mp4_box(b"mdhd", struct.pack(">IIIIIHH", 0, 0, 0, 1000, n, 0, 0))
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _mp4_box(b"tkhd", struct.pack(">IIIII", 0x7, 0, 0, 1, 0)
+                    + struct.pack(">I", n) + b"\x00" * 8
+                    + struct.pack(">HHHH", 0, 0, 0, 0)
+                    + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                                  0x40000000)
+                    + struct.pack(">II", width << 16, height << 16))
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    mvhd = _mp4_box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, 1000, n)
+                    + struct.pack(">I", 0x10000) + b"\x00" * 70
+                    + struct.pack(">I", 2))
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+# ---------------------------------------------------------------------------
+# WEBP (dims only — VP8/VP8L/VP8X header parse; pixel decode needs
+# the absent codec)
+# ---------------------------------------------------------------------------
+
+
+def webp_dims(buf: bytes) -> tuple[int, int, int]:
+    """(height, width, 3) from the first VP8 / VP8L / VP8X chunk.
+    Pixels stay undecodable here (VP8 entropy coding is out of
+    scope); dims-only is still a REAL header parse worth having —
+    ImageDecode is header-only by design."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
+        raise ValueError("not a WEBP")
+    pos, n = 12, len(buf)
+    while pos + 8 <= n:
+        fourcc = buf[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = pos + 8
+        if fourcc == b"VP8 " and body + 10 <= n:
+            if buf[body + 3:body + 6] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 sync code")
+            w, h = struct.unpack_from("<HH", buf, body + 6)
+            return (h & 0x3FFF), (w & 0x3FFF), 3
+        if fourcc == b"VP8L" and body + 5 <= n:
+            if buf[body] != 0x2F:
+                raise ValueError("bad VP8L signature")
+            (bits,) = struct.unpack_from("<I", buf, body + 1)
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return h, w, 3
+        if fourcc == b"VP8X" and body + 10 <= n:
+            w = int.from_bytes(buf[body + 4:body + 7], "little") + 1
+            h = int.from_bytes(buf[body + 7:body + 10], "little") + 1
+            return h, w, 3
+        pos = body + size + (size & 1)
+    raise ValueError("WEBP without a VP8/VP8L/VP8X chunk")
 
 
 # ---------------------------------------------------------------------------

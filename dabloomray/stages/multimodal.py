@@ -5,18 +5,19 @@ by actor-pool ``map_batches`` stages with small batch sizes (large
 payloads: size batch_size so batch x concurrency fits worker heap).
 
 Decode reality, format by format:
-- **REAL, no libraries needed** (``stages/codecs.py`` pure-numpy
-  parsers): P6 PPM, 24-bit BMP and 8-bit non-interlaced PNG images
-  (decode, resize, features — PNG rides the decoder registry as a
-  built-in), PCM-16 WAV audio (decode, rms/zero-crossing features),
-  and concatenated-P6 "video" streams (frame sampling).
+- **REAL, no libraries needed** (``stages/codecs.py`` + ``stages/
+  jpeg.py`` pure-numpy codecs): P6 PPM, 24-bit BMP, 8-bit
+  non-interlaced PNG, baseline JPEG and GIF images (decode, resize,
+  features — PNG/JPEG/GIF ride the decoder registry as built-ins),
+  PCM-16 WAV audio (decode, rms/zero-crossing features), and
+  concatenated-P6 "video" streams (frame sampling).
 - **Real when the library exists**: PIL is used for other image
   formats if importable (it is not in this environment).
 - **STUB otherwise**: the remaining compressed formats
-  (JPEG/GIF/WEBP/MP4) without PIL/ffmpeg fall back to a DETERMINISTIC
-  FAKE (pure function of the bytes) that preserves schema, determinism
-  and batch shape — marked loudly, swap in the real decoder when the
-  lib exists.
+  (WEBP/MP4, progressive JPEG) without PIL/ffmpeg fall back to a
+  DETERMINISTIC FAKE (pure function of the bytes) that preserves
+  schema, determinism and batch shape — marked loudly, swap in the
+  real decoder when the lib exists.
 """
 
 from __future__ import annotations
@@ -27,19 +28,25 @@ import numpy as np
 import pyarrow as pa
 
 from ..hashing import murmur3_x64_128_batch
+from .jpeg import decode_jpeg, jpeg_dims
 from .codecs import (
     _ppm_header,
     bmp_dims,
     decode_bmp,
+    decode_gif,
     decode_png,
     decode_ppm,
     decode_wav,
     encode_ppm,
+    gif_dims,
     image_features,
+    mp4_dims,
+    mp4_sample_ranges,
     png_dims,
     ppm_dims,
     resize_nearest,
     sniff,
+    webp_dims,
 )
 
 IMAGE_META_SCHEMA = [
@@ -66,12 +73,29 @@ IMAGE_META_SCHEMA = [
 _DECODERS: dict[str, dict] = {}
 
 # REAL decoders routed through the registry itself (VERDICT r4 #5):
-# PNG decodes with stdlib zlib + numpy (codecs.decode_png), so it is
-# a genuine registry entry, registered at import time on every
-# process that loads this module (Ray workers included).  A user
-# register_decoder("png", ...) overrides it; unregister restores it.
+# PNG decodes with stdlib zlib + numpy (codecs.decode_png), and since
+# round 5 baseline JPEG decodes with the pure-numpy T.81 codec
+# (stages/jpeg.py) — both are genuine registry entries, registered at
+# import time on every process that loads this module (Ray workers
+# included).  A user register_decoder(fmt, ...) overrides a built-in;
+# unregister restores it.  jpeg_dims parses the SOF header only, so
+# dimension queries never pay the entropy decode.
+def _no_pixel_decode(blob: bytes):
+    """Registry 'decode' for formats whose CONTAINER parses here but
+    whose codec payload does not (MP4, WEBP): returning None sends
+    pixel consumers (resize/features) to their documented fallback
+    while the dims hook stays REAL.  A plugged real decoder replaces
+    this entry wholesale."""
+    return None
+
+
 _BUILTIN_DECODERS: dict[str, dict] = {
     "png": {"decode": decode_png, "dims": png_dims},
+    "jpeg": {"decode": decode_jpeg, "dims": jpeg_dims},
+    "gif": {"decode": decode_gif, "dims": gif_dims},
+    # REAL header/container parse, honest no-pixels decode:
+    "mp4": {"decode": _no_pixel_decode, "dims": mp4_dims},
+    "webp": {"decode": _no_pixel_decode, "dims": webp_dims},
 }
 _DECODERS.update(_BUILTIN_DECODERS)
 
@@ -347,9 +371,12 @@ class FrameSample:
     losslessly): the frame table is walked exactly from the headers
     and ``n_frames`` frames are sampled evenly, ``frame_idx`` = the
     SOURCE frame index, each output frame a valid standalone PPM.
-    Container formats (MP4 etc.) need the absent ffmpeg — STUB:
-    hash-sliced byte windows with synthetic indices 0..n_frames-1,
-    same schema."""
+    REAL demux for MP4 (round 5): the stsc/stsz/stco sample table
+    yields every sample's byte range, frames are sampled evenly and
+    emitted as the raw ENCODED sample bytes (the codec payload stays
+    opaque — no ffmpeg — but the frame boundaries and indices are
+    real).  Other containers (WEBM etc.) — STUB: hash-sliced byte
+    windows with synthetic indices 0..n_frames-1, same schema."""
 
     def __init__(self, id_col: str = "media_id",
                  content_col: str = "content", n_frames: int = 4):
@@ -364,6 +391,11 @@ class FrameSample:
         for mid, blob in zip(ids, blobs):
             blob = blob or b""
             spans = _split_ppm_stream(blob)
+            if not spans and sniff(blob) == "mp4":
+                try:  # REAL ISO-BMFF demux (encoded samples, round 5)
+                    spans = mp4_sample_ranges(blob)
+                except (ValueError, struct.error):
+                    spans = []
             if spans:  # REAL path
                 take = np.unique(np.linspace(0, len(spans) - 1,
                                              min(self.n_frames, len(spans)),

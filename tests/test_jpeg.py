@@ -1,0 +1,241 @@
+"""Baseline JPEG codec (stages/jpeg.py): pure-numpy T.81 decode +
+encode, registry-routed as a built-in like PNG (VERDICT r4 "What's
+missing" #1 — the last real-compressed-media-decode gap).
+
+No independent JPEG implementation exists in this environment, so
+correctness is established the same way the PNG codec's was:
+round-trips through an encoder that can drive every decoder path
+(4:4:4 / 4:2:0, gray / color, restart intervals, interleaved and
+non-interleaved scans, byte stuffing), exactness on DC-only content,
+error bounds from the quantization tables on everything else, and
+loud ValueError on the unsupported subset (progressive etc.) so the
+stages fall back instead of mis-decoding."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dabloomray.stages.codecs import sniff
+from dabloomray.stages.jpeg import decode_jpeg, encode_jpeg, jpeg_dims
+from dabloomray.stages.multimodal import ImageDecode, _decode_image
+
+
+def gradient_img(h, w, seed=0):
+    r = (np.arange(h)[:, None] + np.zeros(w, int)[None, :] + seed) % 256
+    g = (np.arange(w)[None, :] + np.zeros(h, int)[:, None] + 2 * seed) % 256
+    b = (r + g) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def smooth_img(h, w, ch=3, seed=0):
+    """Blurred noise — generic content whose JPEG error stays small."""
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, 256, (h, w, ch)).astype(np.float64)
+    for _ in range(4):
+        x = (x + np.roll(x, 1, 0) + np.roll(x, 1, 1) + np.roll(x, -1, 0)) / 4
+    return x.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# round-trips
+# ---------------------------------------------------------------------------
+
+
+def test_constant_image_roundtrips_exact():
+    """A constant block is DC-only, so round-trip error is exactly the
+    DC quantizer's rounding error: ≤ qdc/16 of a pixel level.  At
+    quality ≥ 75 the scaled luma DC quantizer is ≤ 8 → sub-half-level
+    → EXACT after rint; at lower qualities the bound still pins the
+    decoder (the sharpest self-check without a reference decoder)."""
+    for q, bound in ((10, 5), (50, 1), (75, 0), (95, 0)):
+        for val in (0, 90, 200, 255):
+            img = np.full((16, 24, 3), val, np.uint8)
+            out = decode_jpeg(encode_jpeg(img, quality=q))
+            err = np.abs(out.astype(int) - img.astype(int))
+            assert err.max() <= bound, (q, val, err.max())
+            assert len(np.unique(out.reshape(-1, 3), axis=0)) == 1
+    gray = np.full((8, 8), 77, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(gray, quality=75)),
+                          gray[:, :, None])
+
+
+def test_gradient_roundtrips_at_q95():
+    """Smooth content at q95 across every knob: a chroma-free ramp
+    (identical RGB channels ⇒ Cb=Cr=0) round-trips EXACTLY, and a
+    colored gradient stays within ±1 (±2 when chroma is subsampled)."""
+    ramp = (np.add.outer(np.arange(24), np.arange(40)) * 2 % 256) \
+        .astype(np.uint8)
+    flat = np.repeat(ramp[:, :, None], 3, axis=2)
+    img = gradient_img(24, 40)
+    for kwargs in ({}, {"subsample": True}, {"restart_interval": 2},
+                   {"interleave": False},
+                   {"subsample": True, "restart_interval": 1,
+                    "interleave": False}):
+        buf = encode_jpeg(flat, quality=95, **kwargs)
+        assert sniff(buf) == "jpeg"
+        assert jpeg_dims(buf) == (24, 40, 3)
+        assert np.array_equal(decode_jpeg(buf), flat), kwargs
+        out = decode_jpeg(encode_jpeg(img, quality=95, **kwargs))
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= (2 if kwargs.get("subsample") else 1), kwargs
+
+
+def test_error_bound_on_noise():
+    """Worst-case content (uniform noise) at q95: per-pixel error is
+    bounded by the sum of half-quantizer steps through the orthonormal
+    IDCT — loose engineering bound of 32 levels, mean under 6."""
+    img = np.random.default_rng(3).integers(0, 256, (33, 29, 3),
+                                            dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 32 and err.mean() < 6.0
+
+
+def test_interleave_and_restart_variants_decode_identically():
+    """Scan layout is lossless packaging: the same quantized
+    coefficients must reconstruct bit-identically whether the file is
+    interleaved, non-interleaved (three Ns=1 scans), or chopped by
+    restart markers."""
+    img = smooth_img(21, 13, seed=7)
+    base = decode_jpeg(encode_jpeg(img, quality=80))
+    for kwargs in ({"restart_interval": 1}, {"restart_interval": 3},
+                   {"interleave": False},
+                   {"interleave": False, "restart_interval": 2}):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(img, quality=80, **kwargs)), base), \
+            kwargs
+    sub = decode_jpeg(encode_jpeg(img, quality=80, subsample=True))
+    for kwargs in ({"restart_interval": 2}, {"interleave": False}):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(img, quality=80, subsample=True,
+                                    **kwargs)), sub), kwargs
+
+
+def test_byte_stuffing_roundtrip():
+    """Content chosen to emit 0xFF bytes in the entropy stream — the
+    stuffed 0x00s must be stripped on decode.  (Any sufficiently long
+    noise stream contains 0xFF bytes; assert it actually did.)"""
+    img = np.random.default_rng(11).integers(0, 256, (64, 64, 3),
+                                             dtype=np.uint8)
+    buf = encode_jpeg(img, quality=95)
+    body = buf[buf.find(b"\xff\xda") + 14:-2]
+    assert b"\xff\x00" in body, "fixture no longer exercises stuffing"
+    out = decode_jpeg(buf)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 32
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    ch=st.sampled_from([1, 3]),
+    quality=st.sampled_from([75, 90, 95]),
+    subsample=st.booleans(),
+    ri=st.sampled_from([0, 1, 5]),
+    interleave=st.booleans(),
+    seed=st.integers(0, 2 ** 16),
+)
+def test_roundtrip_properties(h, w, ch, quality, subsample, ri, interleave,
+                              seed):
+    """Any size x any knob combination: dims exact, shape exact,
+    decode within a quality-scaled error envelope (chroma subsampling
+    on non-smooth content is the loosest path)."""
+    img = smooth_img(h, w, ch=ch, seed=seed)
+    if ch == 1:
+        img = img[:, :, 0]
+    buf = encode_jpeg(img, quality=quality, subsample=subsample,
+                      restart_interval=ri, interleave=interleave)
+    out_ch = 3 if ch == 3 else 1
+    assert jpeg_dims(buf) == (h, w, out_ch)
+    out = decode_jpeg(buf)
+    assert out.shape == (h, w, out_ch)
+    err = np.abs(out.astype(int)
+                 - (img if img.ndim == 3 else img[:, :, None]).astype(int))
+    bound = 48 if quality == 75 else 40
+    if subsample and ch == 3:
+        bound += 48  # 2x2 chroma averaging + replication upsample
+    assert err.max() <= bound, (err.max(), quality, subsample)
+
+
+# ---------------------------------------------------------------------------
+# unsupported subset + malformed blobs: ValueError, never garbage
+# ---------------------------------------------------------------------------
+
+
+def test_unsupported_and_malformed_raise_valueerror():
+    import pytest
+    import struct as s
+
+    good = encode_jpeg(gradient_img(16, 16), quality=90)
+
+    def mutate_sof(marker):
+        i = good.find(b"\xff\xc0")
+        return good[:i + 1] + bytes([marker]) + good[i + 2:]
+
+    bad = {
+        "not jpeg": b"\x00\x01\x02",
+        "truncated header": good[:8],
+        "truncated entropy": good[:len(good) // 2],
+        "progressive": mutate_sof(0xC2),
+        "lossless": mutate_sof(0xC3),
+        "arithmetic": mutate_sof(0xC9),
+        "no sof": good[:2] + b"\xff\xd9",
+    }
+    for name, blob in bad.items():
+        with pytest.raises(ValueError):
+            decode_jpeg(blob)
+        if name not in ("not jpeg",):
+            continue
+        with pytest.raises(ValueError):
+            jpeg_dims(blob)
+    # jpeg_dims reads dims from ANY SOFn including progressive
+    assert jpeg_dims(mutate_sof(0xC2)) == (16, 16, 3)
+    # 12-bit precision rejected at decode
+    i = good.find(b"\xff\xc0")
+    twelve = good[:i + 4] + bytes([12]) + good[i + 5:]
+    with pytest.raises(ValueError):
+        decode_jpeg(twelve)
+    # 4-component (CMYK-style) SOF rejected
+    sof = (b"\xff\xc0" + s.pack(">H", 8 + 3 * 4)
+           + s.pack(">BHHB", 8, 4, 4, 4)
+           + b"".join(bytes([i + 1, 0x11, 0]) for i in range(4)))
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:2] + sof + b"\xff\xd9")
+
+
+# ---------------------------------------------------------------------------
+# registry integration: JPEG is a REAL built-in decoder now
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_rides_registry_as_builtin():
+    """Same contract as PNG's: real dims via the header-only dims
+    hook, real pixels via _decode_image, override + unregister
+    restores the built-in, malformed blobs fall to the fake."""
+    from dabloomray.stages.multimodal import (
+        _DECODERS,
+        register_decoder,
+        unregister_decoder,
+    )
+
+    assert "jpeg" in _DECODERS
+    ramp = (np.add.outer(np.arange(20), np.arange(30)) * 2 % 256) \
+        .astype(np.uint8)
+    img = np.repeat(ramp[:, :, None], 3, axis=2)  # chroma-free ⇒ exact
+    blob = encode_jpeg(img, quality=95)
+    t = pa.table({"media_id": pa.array([0, 1], pa.int64()),
+                  "content": pa.array([blob, b"\xff\xd8\xffbroken"],
+                                      pa.binary())})
+    dec = ImageDecode()(t)
+    assert dec.column("height").to_pylist()[0] == 20
+    assert dec.column("width").to_pylist()[0] == 30
+    assert dec.column("n_channels").to_pylist()[0] == 3
+    assert dec.column("height").to_pylist()[1] >= 64  # fake dims
+    assert np.array_equal(_decode_image(blob), img)  # q95 exact ramp
+    try:
+        register_decoder("jpeg", lambda b: np.zeros((2, 2, 3), np.uint8))
+        assert _decode_image(blob).shape == (2, 2, 3)
+    finally:
+        unregister_decoder("jpeg")
+    assert np.array_equal(_decode_image(blob), img)

@@ -453,3 +453,177 @@ def test_png_distributed_decode(ray_session):
     got = {r["media_id"]: (r["height"], r["width"], r["n_channels"])
            for r in ds.take_all()}
     assert got == {i: (8 + i, 6 + i, 3) for i in range(10)}
+
+
+# ---------------------------------------------------------------------------
+# GIF (round 5: real first-frame decode + LZW, registry built-in)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_paletted_content():
+    """Lossless palette format: any image with <= 256 distinct colors
+    must round-trip EXACTLY, plain and interlaced, including sizes
+    whose LZW stream crosses code-width growth and the 4096 reset."""
+    from dabloomray.stages.codecs import decode_gif, encode_gif, gif_dims
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (200, 3), np.uint8)
+    cases = [
+        np.zeros((5, 7, 3), np.uint8),                       # 1 color
+        gradient_img(16, 16),                                # 256 colors
+        pal[rng.integers(0, 200, (37, 53))],                 # width growth
+        pal[rng.integers(0, 200, (150, 200))],               # 4096 reset
+        np.full((1, 1, 3), 9, np.uint8),                     # 1x1
+    ]
+    for img in cases:
+        for interlace in (False, True):
+            blob = encode_gif(img, interlace=interlace)
+            assert sniff(blob) == "gif"
+            assert gif_dims(blob) == (img.shape[0], img.shape[1], 3)
+            assert np.array_equal(decode_gif(blob), img), \
+                (img.shape, interlace)
+    # gray input is expanded to identical RGB channels
+    g = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 4)
+    from dabloomray.stages.codecs import decode_gif as dg, encode_gif as eg
+    assert np.array_equal(dg(eg(g)), np.repeat(g[:, :, None], 3, axis=2))
+
+
+def test_gif_lzw_kwkwk_and_transparency():
+    """The KwKwK corner (code == next dictionary slot) arises from
+    period-2 repetition — drive it explicitly; and a GIF89a GCE
+    transparent index must leave background pixels where the frame is
+    transparent."""
+    from dabloomray.stages.codecs import decode_gif, encode_gif
+
+    # abababab... rows: the LZW encoder emits the just-added code
+    ab = np.zeros((4, 32, 3), np.uint8)
+    ab[:, 1::2] = 255
+    assert np.array_equal(decode_gif(encode_gif(ab)), ab)
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[1, 1] = [255, 0, 0]
+    img[2, 2] = [0, 255, 0]
+    out = decode_gif(encode_gif(img, transparent_color=(255, 0, 0)))
+    assert np.array_equal(out[2, 2], [0, 255, 0])
+    assert np.array_equal(out[1, 1], out[0, 0])  # transparent → bg
+    import pytest
+
+    with pytest.raises(ValueError):  # quantization is out of scope
+        encode_gif(np.random.default_rng(1).integers(
+            0, 256, (40, 40, 3), np.uint8))
+    with pytest.raises(ValueError):  # transparent color must exist
+        encode_gif(img, transparent_color=(1, 2, 3))
+
+
+def test_gif_rides_registry_and_malformed_falls_back():
+    """GIF is a REAL built-in registry decoder: header-only dims in
+    ImageDecode, real pixels in resize/features; malformed blobs
+    (truncated LZW, bad block, index past palette) fall to the fake
+    path, never raise."""
+    from dabloomray.stages.codecs import encode_gif
+    from dabloomray.stages.multimodal import _DECODERS, _decode_image
+
+    assert "gif" in _DECODERS
+    img = gradient_img(12, 18)
+    blob = encode_gif(img)
+    t = pa.table({
+        "media_id": pa.array([0, 1, 2], pa.int64()),
+        "content": pa.array(
+            [blob, b"GIF87a\x05\x00", blob[:40]], pa.binary()),
+    })
+    dec = ImageDecode()(t)
+    assert dec.column("height").to_pylist()[0] == 12
+    assert dec.column("width").to_pylist()[0] == 18
+    assert dec.column("height").to_pylist()[1] >= 64  # truncated header
+    # blob[:40] keeps the LSD (real header dims) but ImageDecode's gif
+    # hook is header-only, so dims are still real; full decode fails
+    assert dec.column("height").to_pylist()[2] == 12
+    assert np.array_equal(_decode_image(blob), img)
+    assert _decode_image(blob[:40]) is None
+    rez = ImageResize(6, 9)(t)
+    assert rez.column("resized_ok").to_pylist() == [True, False, False]
+
+
+# ---------------------------------------------------------------------------
+# MP4 demux + WEBP dims (round 5: real container parses, no codec)
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_demux_roundtrip_and_dims():
+    """The sample-table walk must return every sample's exact byte
+    range across chunk layouts (stsc run expansion), and tkhd dims
+    must surface through the registry's header-only hook."""
+    from dabloomray.stages.codecs import (
+        encode_mp4,
+        mp4_dims,
+        mp4_sample_ranges,
+    )
+
+    frames = [bytes([i]) * (10 + 7 * i) for i in range(11)]
+    for chunk_size in (1, 2, 3, 5, 100):
+        buf = encode_mp4(frames, 320, 240, chunk_size=chunk_size)
+        assert sniff(buf) == "mp4"
+        assert mp4_dims(buf) == (240, 320, 3)
+        spans = mp4_sample_ranges(buf)
+        assert [buf[o:o + s] for o, s in spans] == frames, chunk_size
+    t = pa.table({"media_id": pa.array([0], pa.int64()),
+                  "content": pa.array([encode_mp4(frames, 320, 240)],
+                                      pa.binary())})
+    dec = ImageDecode()(t)  # real dims, header-only
+    assert dec.column("height").to_pylist() == [240]
+    assert dec.column("width").to_pylist() == [320]
+    rez = ImageResize(2, 2)(t)  # pixels stay honestly undecodable
+    assert rez.column("resized_ok").to_pylist() == [False]
+
+
+def test_frame_sample_real_mp4_path():
+    """FrameSample on an MP4 must emit REAL encoded sample bytes with
+    SOURCE indices (even spread), and fall to the stub slicer on a
+    corrupt sample table — never raise."""
+    from dabloomray.stages.codecs import encode_mp4
+
+    frames = [bytes([i]) * 50 for i in range(9)]
+    buf = encode_mp4(frames, 64, 48, chunk_size=4)
+    # corrupt: truncate into the moov so the sample table is broken
+    bad = buf[:len(buf) - 40]
+    t = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                  "content": pa.array([buf, bad], pa.binary())})
+    fs = FrameSample(n_frames=3)(t)
+    rows = fs.to_pylist()
+    real = [r for r in rows if r["media_id"] == 1]
+    assert [r["frame_idx"] for r in real] == [0, 4, 8]
+    assert all(r["frame"] == frames[r["frame_idx"]] for r in real)
+    stub = [r for r in rows if r["media_id"] == 2]
+    assert len(stub) == 3  # stub slicing, same schema
+
+
+def test_webp_dims_all_three_chunk_kinds():
+    import struct as s
+
+    import pytest
+
+    from dabloomray.stages.codecs import webp_dims
+
+    def riff(chunks):
+        body = b"WEBP" + chunks
+        return b"RIFF" + s.pack("<I", len(body)) + body
+
+    vp8 = (b"VP8 " + s.pack("<I", 10) + b"\x00\x00\x00\x9d\x01\x2a"
+           + s.pack("<HH", 160, 120))
+    vp8l = (b"VP8L" + s.pack("<I", 5) + b"\x2f"
+            + s.pack("<I", 159 | (119 << 14)))
+    vp8x = (b"VP8X" + s.pack("<I", 10) + b"\x00" * 4
+            + (159).to_bytes(3, "little") + (119).to_bytes(3, "little"))
+    for chunk in (vp8, vp8l, vp8x):
+        blob = riff(chunk)
+        assert sniff(blob) == "webp"
+        assert webp_dims(blob) == (120, 160, 3)
+    with pytest.raises(ValueError):
+        webp_dims(riff(b"VP8 " + s.pack("<I", 10) + b"\x00" * 10))
+    with pytest.raises(ValueError):
+        webp_dims(b"RIFF\x04\x00\x00\x00WAVE")
+    t = pa.table({"media_id": pa.array([0], pa.int64()),
+                  "content": pa.array([riff(vp8)], pa.binary())})
+    dec = ImageDecode()(t)
+    assert (dec.column("height").to_pylist(),
+            dec.column("width").to_pylist()) == ([120], [160])
