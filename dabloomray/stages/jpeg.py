@@ -273,7 +273,9 @@ def jpeg_dims(buf: bytes) -> tuple[int, int, int]:
         marker, pos = _next_marker(buf, pos)
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers carry no length
-        if marker == 0xD9:
+        if marker == 0xD9 or marker == 0xDA:
+            # EOI, or a scan starting before any SOF (invalid file) —
+            # never walk marker-blind into entropy data
             raise ValueError("JPEG without SOF")
         if pos + 2 > len(buf):
             raise ValueError("truncated JPEG segment")
@@ -299,7 +301,8 @@ def _entropy_segments(buf: bytes, start: int) -> tuple[list[bytes], int]:
     nxt = arr[ff + 1]
     stuffed = nxt == 0x00
     rst = (nxt >= 0xD0) & (nxt <= 0xD7)
-    term = ff[~(stuffed | rst)]
+    fill = nxt == 0xFF  # T.81 allows 0xFF fill bytes before a marker
+    term = ff[~(stuffed | rst | fill)]
     end = int(term[0]) if len(term) else len(arr)
     cuts = ff[rst & (ff < end)]
     bounds = [0]

@@ -158,6 +158,24 @@ def test_roundtrip_properties(h, w, ch, quality, subsample, ri, interleave,
     assert err.max() <= bound, (err.max(), quality, subsample)
 
 
+def test_fill_bytes_before_markers_tolerated():
+    """T.81 allows 0xFF fill bytes before any marker; inserting one
+    before each RST and before EOI must not change the decode."""
+    img = smooth_img(17, 19, seed=2)
+    buf = encode_jpeg(img, quality=85, restart_interval=2)
+    base = decode_jpeg(buf)
+    padded = bytearray()
+    i = 0
+    while i < len(buf):
+        if buf[i] == 0xFF and i + 1 < len(buf) \
+                and (0xD0 <= buf[i + 1] <= 0xD7 or buf[i + 1] == 0xD9):
+            padded.append(0xFF)  # fill byte ahead of the marker
+        padded.append(buf[i])
+        i += 1
+    out = decode_jpeg(bytes(padded))
+    assert np.array_equal(out, base)
+
+
 # ---------------------------------------------------------------------------
 # unsupported subset + malformed blobs: ValueError, never garbage
 # ---------------------------------------------------------------------------
