@@ -197,18 +197,25 @@ def blocked_cosine_pairs(ds, id_col: str, vec_col: str,
         cpus = int(ray.cluster_resources().get("CPU", 8)) \
             if ray.is_initialized() else 8
         # Row count only refines task granularity — the OUTPUT is
-        # identical for any n_blocks — so never pay an execution for
-        # it: use the metadata-only count (parquet reads know it,
-        # post-map pipelines return None) and fall back to CPU-based
-        # sizing alone (ADVICE r4: ds.count() on a non-parquet input
-        # would execute the whole upstream pipeline twice).
+        # identical for any n_blocks — so never pay a DOUBLE execution
+        # for it: the metadata-only count is free on parquet reads,
+        # and when it is unavailable (post-map pipelines return None)
+        # the input is materialized ONCE — the explode below then
+        # reads those blocks instead of re-running the upstream
+        # pipeline, and count() on a materialized ds is a metadata
+        # read (ADVICE r4).  Dropping the row cap instead would let a
+        # large non-parquet input explode into ~sqrt(2*cpus) blocks
+        # of N/B vectors each and OOM the pair tasks — the exact case
+        # the 250k-rows-per-block cap exists for.
         try:
             n = ds._meta_count()
         except Exception:
             n = None
-        n_blocks = max(4, int(round((2 * cpus) ** 0.5)))
-        if n is not None:
-            n_blocks = max(n_blocks, -(-int(n) // 250_000))
+        if n is None:
+            ds = ds.materialize()
+            n = ds.count()
+        n_blocks = max(4, int(round((2 * cpus) ** 0.5)),
+                       -(-int(n) // 250_000))
     exploded = ds.map_batches(
         _BlockPairExplode,
         fn_constructor_kwargs={"id_col": id_col, "vec_col": vec_col,

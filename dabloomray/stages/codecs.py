@@ -415,7 +415,9 @@ def encode_png(img: np.ndarray, filter_type: int = 0,
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if ctype is None:
+        raise ValueError(f"encode_png: unsupported channel count {ch}")
     body = _png_filter_rows(img.reshape(h, w * ch), ch, filter_type)
     lines = np.empty((h, w * ch + 1), dtype=np.uint8)
     lines[:, 0] = filter_type
@@ -533,7 +535,9 @@ def decode_gif(buf: bytes) -> np.ndarray:
             label = buf[pos + 1]
             pos += 2
             # graphic control: transparency index for the NEXT image
-            if label == 0xF9 and pos + 1 < len(buf) and buf[pos] >= 4:
+            # (needs the full 4-byte GCE body in range — a blob
+            # truncated mid-GCE must raise ValueError, not IndexError)
+            if label == 0xF9 and pos + 5 <= len(buf) and buf[pos] >= 4:
                 if buf[pos + 1] & 0x01:
                     transparent = buf[pos + 4]
             while pos < len(buf) and buf[pos]:  # skip sub-blocks
@@ -554,6 +558,8 @@ def decode_gif(buf: bytes) -> np.ndarray:
                 raise ValueError("GIF image without a color table")
             if iw <= 0 or ih <= 0:
                 raise ValueError("bad GIF frame dimensions")
+            if pos >= len(buf):
+                raise ValueError("truncated GIF image data")
             mcs = buf[pos]
             pos += 1
             chunks = []
@@ -768,6 +774,8 @@ def mp4_dims(buf: bytes) -> tuple[int, int, int]:
     if tkhd is None:
         raise ValueError("MP4 trak without tkhd")
     lo, hi = tkhd
+    if lo >= hi:
+        raise ValueError("truncated tkhd")
     version = buf[lo]
     off = lo + (88 if version == 1 else 76)
     if off + 8 > hi:
@@ -813,8 +821,13 @@ def mp4_sample_ranges(buf: bytes) -> list[tuple[int, int]]:
     (nruns,) = struct.unpack_from(">I", buf, lo + 4)
     runs = [struct.unpack_from(">III", buf, lo + 8 + 12 * i)
             for i in range(nruns)]
-    # expand stsc runs → samples-per-chunk for every chunk
-    spc = np.empty(nchunks, dtype=np.int64)
+    # expand stsc runs → samples-per-chunk for every chunk.  ISO
+    # 14496-12 mandates the first run start at chunk 1; enforcing it
+    # (rather than np.empty + partial fill) means every chunk is
+    # covered — a gap would otherwise yield GARBAGE sample ranges.
+    if nchunks and (nruns == 0 or runs[0][0] != 1):
+        raise ValueError("MP4 stsc does not cover chunk 1")
+    spc = np.zeros(nchunks, dtype=np.int64)
     for i, (first, per, _desc) in enumerate(runs):
         last = runs[i + 1][0] - 1 if i + 1 < nruns else nchunks
         if not 1 <= first <= nchunks or first > last:
@@ -915,20 +928,28 @@ def webp_dims(buf: bytes) -> tuple[int, int, int]:
             if buf[body + 3:body + 6] != b"\x9d\x01\x2a":
                 raise ValueError("bad VP8 sync code")
             w, h = struct.unpack_from("<HH", buf, body + 6)
-            return (h & 0x3FFF), (w & 0x3FFF), 3
+            return _positive_dims(h & 0x3FFF, w & 0x3FFF)
         if fourcc == b"VP8L" and body + 5 <= n:
             if buf[body] != 0x2F:
                 raise ValueError("bad VP8L signature")
             (bits,) = struct.unpack_from("<I", buf, body + 1)
             w = (bits & 0x3FFF) + 1
             h = ((bits >> 14) & 0x3FFF) + 1
-            return h, w, 3
+            return _positive_dims(h, w)
         if fourcc == b"VP8X" and body + 10 <= n:
             w = int.from_bytes(buf[body + 4:body + 7], "little") + 1
             h = int.from_bytes(buf[body + 7:body + 10], "little") + 1
-            return h, w, 3
+            return _positive_dims(h, w)
         pos = body + size + (size & 1)
     raise ValueError("WEBP without a VP8/VP8L/VP8X chunk")
+
+
+def _positive_dims(h: int, w: int) -> tuple[int, int, int]:
+    """Shared dims-hook validation (every sibling dims fn raises on
+    non-positive claims; WEBP's bit-packed headers can encode 0)."""
+    if h <= 0 or w <= 0:
+        raise ValueError("bad image dimensions")
+    return h, w, 3
 
 
 # ---------------------------------------------------------------------------

@@ -147,6 +147,24 @@ class _HuffLUT:
             code <<= 1
 
 
+_LUT_CACHE: dict[tuple[bytes, bytes], _HuffLUT] = {}
+
+
+def _lut_for(bits: bytes, vals: bytes) -> _HuffLUT:
+    """Memoized _HuffLUT build: the 65536-entry fill costs ~0.35 ms —
+    about half the total decode time of a small tile — and real
+    corpora reuse a handful of DHTs (usually the Annex K set) across
+    millions of files.  Bounded so adversarial streams with unique
+    tables cannot grow the cache without limit."""
+    key = (bytes(bits), bytes(vals))
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        if len(_LUT_CACHE) >= 64:
+            _LUT_CACHE.clear()
+        lut = _LUT_CACHE[key] = _HuffLUT(bits, vals)
+    return lut
+
+
 def _huff_codes(bits: bytes, vals: bytes) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length) for the encoder side."""
     out, code, vi = {}, 0, 0
@@ -239,6 +257,14 @@ class _BitWriter:
         """Pad to a byte boundary with 1-bits (T.81 F.1.2.3)."""
         if self.nbits:
             self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+# the encoder always emits the Annex K tables — build their code
+# dicts once at import, not per encode_jpeg call
+_ENC_DC_LUM = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+_ENC_AC_LUM = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+_ENC_DC_CHR = _huff_codes(_DC_CHR_BITS, _DC_CHR_VALS)
+_ENC_AC_CHR = _huff_codes(_AC_CHR_BITS, _AC_CHR_VALS)
 
 
 # ---------------------------------------------------------------------------
@@ -395,7 +421,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 nv = sum(bits)
                 vals = data[dp + 17:dp + 17 + nv]
                 dp += 17 + nv
-                lut = _HuffLUT(bits, vals)
+                lut = _lut_for(bits, vals)
                 (dc_tabs if tc == 0 else ac_tabs)[th] = lut
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", data)
@@ -433,7 +459,11 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG scan before SOF")
+            if not data:
+                raise ValueError("empty JPEG SOS segment")
             ns = data[0]
+            if len(data) < 1 + 2 * ns + 3:
+                raise ValueError("truncated JPEG SOS segment")
             scan = []
             for i in range(ns):
                 cs, tt = data[1 + 2 * i], data[2 + 2 * i]
@@ -651,11 +681,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
         p = np.pad(p, ((0, tgt_h - p.shape[0]), (0, tgt_w - p.shape[1])),
                    mode="edge")
         zzs.append(_fdct_quant(p, qs[len(zzs)]))
-    dc_lum = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
-    ac_lum = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
-    dc_chr = _huff_codes(_DC_CHR_BITS, _DC_CHR_VALS)
-    ac_chr = _huff_codes(_AC_CHR_BITS, _AC_CHR_VALS)
-    codes = [(dc_lum, ac_lum)] + [(dc_chr, ac_chr)] * (len(planes) - 1)
+    codes = [(_ENC_DC_LUM, _ENC_AC_LUM)] \
+        + [(_ENC_DC_CHR, _ENC_AC_CHR)] * (len(planes) - 1)
 
     def scan_entropy(comp_idx: list[int]) -> bytes:
         """Entropy-code one scan (all components interleaved, or a

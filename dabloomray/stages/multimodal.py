@@ -150,6 +150,18 @@ def _decode_image(blob: bytes) -> np.ndarray | None:
     return None
 
 
+def _checked_dims(dims) -> tuple[int, int, int]:
+    """Validate a dims hook's claim before it lands in int32 storage:
+    a header asserting e.g. width 2^31 (unsigned fields pass the
+    decoder's own w > 0 check as Python ints) would otherwise WRAP to
+    a negative int32 and flow downstream as a 'real' dimension.
+    Raising ValueError routes the blob to the fake path instead."""
+    h, w, c = (int(x) for x in dims)
+    if not (0 < h < 2**31 and 0 < w < 2**31 and 0 < c < 2**31):
+        raise ValueError("image dims out of int32 range")
+    return h, w, c
+
+
 def _fake_dims(blobs) -> tuple[np.ndarray, np.ndarray]:
     """DETERMINISTIC FAKE: pretend dims derived from a content hash."""
     h1, h2 = murmur3_x64_128_batch(blobs, seed=99)
@@ -190,7 +202,8 @@ class ImageDecode:
                 if kind in _DECODERS:  # pluggable decoder wins
                     reg = _DECODERS[kind]
                     if reg["dims"] is not None:
-                        height[i], width[i], chans[i] = reg["dims"](blob)
+                        height[i], width[i], chans[i] = \
+                            _checked_dims(reg["dims"](blob))
                     else:
                         img = _registry_decode(kind, blob)
                         if img is None:  # decoder declined the blob

@@ -257,3 +257,43 @@ def test_jpeg_rides_registry_as_builtin():
     finally:
         unregister_decoder("jpeg")
     assert np.array_equal(_decode_image(blob), img)
+
+
+def test_review_r5_truncated_sos_raises_valueerror():
+    """Round-5 review: an SOS segment with an empty or short payload
+    used to raise IndexError (escaping the malformed-blob harness).
+    Both truncation shapes must raise ValueError instead."""
+    import struct as s
+
+    import pytest
+
+    blob = encode_jpeg(np.full((8, 8, 3), 77, np.uint8))
+    sos = blob.find(b"\xff\xda")
+    assert sos > 0
+    # empty SOS payload (declared seglen 2)
+    empty = blob[:sos + 2] + s.pack(">H", 2) + blob[sos + 4:]
+    # SOS declaring more components than the payload carries
+    head, tail = blob[:sos + 4], blob[sos + 4:]
+    overlong = head[:sos + 2] + s.pack(">H", 4) + bytes([3]) + tail[1:]
+    for bad in (empty, overlong):
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+        assert _decode_image(bad) is None
+
+
+def test_review_r5_huffman_lut_memoized():
+    """The 65536-entry LUT build is ~half the decode cost of a small
+    tile; identical DHT bytes (the common case — Annex K everywhere)
+    must hit the module cache, and decodes must stay correct."""
+    from dabloomray.stages import jpeg as j
+
+    img = np.full((8, 8, 3), 90, np.uint8)
+    blob = encode_jpeg(img)
+    j._LUT_CACHE.clear()
+    out1 = decode_jpeg(blob)
+    n_after_first = len(j._LUT_CACHE)
+    assert n_after_first == 4  # dc/ac x lum/chr
+    out2 = decode_jpeg(blob)
+    assert len(j._LUT_CACHE) == n_after_first  # pure cache hits
+    assert np.array_equal(out1, out2)
+    assert np.array_equal(out1, img)  # constant block: exact at q90

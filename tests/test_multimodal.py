@@ -627,3 +627,117 @@ def test_webp_dims_all_three_chunk_kinds():
     dec = ImageDecode()(t)
     assert (dec.column("height").to_pylist(),
             dec.column("width").to_pylist()) == ([120], [160])
+
+
+def test_review_r5_truncated_blobs_raise_valueerror_not_indexerror():
+    """Round-5 review: blobs truncated at specific parser offsets used
+    to raise IndexError, escaping _decode_image's (ValueError,
+    struct.error, OSError) harness and killing the map_batches task.
+    Every decoder must raise ValueError on truncation."""
+    import struct as s
+
+    import pytest
+
+    from dabloomray.stages.codecs import (
+        decode_gif,
+        encode_gif,
+        encode_mp4,
+        mp4_dims,
+    )
+    from dabloomray.stages.multimodal import _decode_image
+
+    # GIF truncated inside a GCE (after the flags byte)
+    gce_trunc = (b"GIF89a" + s.pack("<HH", 2, 2)
+                 + bytes([0x80, 0, 0]) + b"\x00" * 6  # LSD + 2-entry GCT
+                 + bytes([0x21, 0xF9, 0x04, 0x01]))
+    # GIF truncated right before the LZW min-code-size byte
+    mcs_trunc = (b"GIF87a" + s.pack("<HH", 2, 2)
+                 + bytes([0x80, 0, 0]) + b"\x00" * 6
+                 + b"\x2c" + s.pack("<HHHH", 0, 0, 2, 2) + b"\x00")
+    # MP4 whose tkhd box is empty at buffer end
+    full = encode_mp4([b"xx"], 4, 4)
+    tk = full.find(b"tkhd")
+    empty_tkhd = full[:tk - 4] + s.pack(">I", 8) + b"tkhd"
+    for blob, fn in [(gce_trunc, decode_gif), (mcs_trunc, decode_gif),
+                     (empty_tkhd, mp4_dims)]:
+        with pytest.raises(ValueError):
+            fn(blob)
+        assert _decode_image(blob) is None  # harness catches it
+    # the whole stage survives a batch of them
+    t = pa.table({"media_id": pa.array([0, 1, 2], pa.int64()),
+                  "content": pa.array([gce_trunc, mcs_trunc, empty_tkhd],
+                                      pa.binary())})
+    assert len(ImageDecode()(t)) == 3
+    # sanity: the valid encodings still decode
+    img = gradient_img(3, 3)
+    assert decode_gif(encode_gif(img)).shape == (3, 3, 3)
+    assert mp4_dims(full) == (4, 4, 3)
+
+
+def test_review_r5_mp4_stsc_gap_rejected():
+    """stsc runs not covering chunk 1 used to leave np.empty garbage
+    as samples-per-chunk — nondeterministic WRONG sample ranges.
+    Malformed coverage must raise, valid tables stay exact."""
+    import struct as s
+
+    import pytest
+
+    from dabloomray.stages.codecs import encode_mp4, mp4_sample_ranges
+
+    frames = [b"aa", b"bbb", b"c", b"dddd", b"ee"]
+    blob = encode_mp4(frames, 4, 4, chunk_size=2)
+    spans = mp4_sample_ranges(blob)
+    assert [blob[o:o + n] for o, n in spans] == frames
+    # corrupt the first stsc run to start at chunk 2
+    stsc = blob.find(b"stsc")
+    patched = bytearray(blob)
+    patched[stsc + 12:stsc + 16] = s.pack(">I", 2)
+    with pytest.raises(ValueError):
+        mp4_sample_ranges(bytes(patched))
+
+
+def test_review_r5_dims_hook_int32_overflow_falls_back():
+    """A PNG whose IHDR claims width 2^31 passes the decoder's w > 0
+    check (unsigned read, Python int) but used to WRAP to a negative
+    int32 inside ImageDecode.  It must fall to the fake path now."""
+    import struct as s
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = s.pack(">II5B", 2**31, 8, 8, 2, 0, 0, 0)
+
+    def chunk(kind, data):
+        return (s.pack(">I", len(data)) + kind + data
+                + s.pack(">I", zlib.crc32(kind + data)))
+
+    blob = sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    t = pa.table({"media_id": pa.array([0], pa.int64()),
+                  "content": pa.array([blob], pa.binary())})
+    dec = ImageDecode()(t)
+    w = dec.column("width").to_pylist()[0]
+    h = dec.column("height").to_pylist()[0]
+    assert w > 0 and h > 0  # fake dims, never a wrapped negative
+    assert 64 <= w <= 1280 + 64 and 64 <= h <= 960 + 64
+
+
+def test_review_r5_webp_zero_dims_rejected():
+    import struct as s
+
+    import pytest
+
+    from dabloomray.stages.codecs import webp_dims
+
+    vp8 = (b"VP8 " + s.pack("<I", 10) + b"\x00\x00\x00\x9d\x01\x2a"
+           + s.pack("<HH", 0, 0))
+    body = b"WEBP" + vp8
+    with pytest.raises(ValueError):
+        webp_dims(b"RIFF" + s.pack("<I", len(body)) + body)
+
+
+def test_review_r5_encode_png_bad_channels_raises_valueerror():
+    import pytest
+
+    from dabloomray.stages.codecs import encode_png
+
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((4, 4, 5), np.uint8))

@@ -196,3 +196,44 @@ def test_lsh_recall_vs_bruteforce(emb_ds):
     # near-identical vectors (cos>0.95 → angle<18°) collide with
     # prob (1-θ/π)^8 ≈ 0.43 per table; 12 tables → ~0.999
     assert recall >= 0.9
+
+
+def test_review_r5_blocked_pairs_nonparquet_autosize_single_execution(
+        emb_ds, tmp_path):
+    """Round-5 review: auto-sizing on a post-map input (no metadata
+    count) must keep the rows-per-block cap WITHOUT executing the
+    upstream pipeline twice — the fix materializes once and sizes off
+    the materialized count.  Proven by counting upstream batch
+    executions via a side-effect file: the auto-sized run must write
+    exactly as many lines as a single fixed-n_blocks execution."""
+    import os
+
+    import pyarrow as pa
+
+    from dabloomray.pipelines.similarity import blocked_cosine_pairs
+
+    m, ds = emb_ds
+    marker = str(tmp_path / "exec_count")
+
+    def traced(t: pa.Table) -> pa.Table:
+        with open(marker, "a") as f:
+            f.write(f"{len(t)}\n")
+        return t
+
+    # control: explicit n_blocks → upstream executes exactly once
+    mapped = ds.map_batches(traced, batch_format="pyarrow")
+    out = blocked_cosine_pairs(mapped, "vec_id", "embedding",
+                               threshold=0.95, n_blocks=4)
+    got_fixed = {(r["left_id"], r["right_id"]) for r in out.take_all()}
+    once = sum(1 for _ in open(marker))
+    os.remove(marker)
+
+    # auto-sized: _meta_count is None on a post-map ds → materialize
+    # path; same single execution, same exact output
+    mapped = ds.map_batches(traced, batch_format="pyarrow")
+    auto = blocked_cosine_pairs(mapped, "vec_id", "embedding",
+                                threshold=0.95)
+    got_auto = {(r["left_id"], r["right_id"]) for r in auto.take_all()}
+    again = sum(1 for _ in open(marker))
+    assert got_auto == got_fixed
+    assert again == once  # one upstream execution, not two
