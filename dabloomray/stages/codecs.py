@@ -5,9 +5,11 @@ The sandbox has no PIL/ffmpeg, but nothing stops honest decoding of
 the library-free public formats: netpbm **P6 PPM** (binary RGB),
 **24-bit BI_RGB BMP** (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up
 BGR rows padded to 4 bytes), **PCM-16 RIFF/WAVE**, and — since round
-5 — **8-bit non-interlaced PNG** (DEFLATE is stdlib ``zlib``; the five
-scanline filters are numpy arithmetic) and **GIF** (87a/89a first
-frame; GIF-LZW is ~60 lines each way).  Each decoder parses the real
+5 — **8/16-bit PNG, interlace 0 or Adam7** (DEFLATE is stdlib
+``zlib``; the five scanline filters are numpy arithmetic) and
+**GIF** (87a/89a; first-frame decode plus full animated-GIF demux —
+``gif_frames`` re-wraps every frame as a standalone decodable GIF;
+GIF-LZW is ~60 lines each way).  Each decoder parses the real
 header and returns numpy arrays; matching encoders exist so tests can
 round-trip.  Baseline JPEG has its own pure-numpy codec in
 ``stages/jpeg.py`` (also registry-routed).  The remaining compressed
@@ -233,14 +235,17 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# PNG (8-bit, non-interlaced; stdlib zlib + numpy unfilter)
+# PNG (8/16-bit, interlace 0 or Adam7; stdlib zlib + numpy unfilter)
 # ---------------------------------------------------------------------------
 # VERDICT r4 #5: PNG is decodable with zero external libraries —
 # DEFLATE is stdlib ``zlib`` and the five scanline filters are spec'd
-# arithmetic (W3C PNG spec / RFC 2083 §6).  Supported: bit depth 8,
-# color types 0 (gray), 2 (RGB), 3 (palette→RGB), 4 (gray+alpha),
-# 6 (RGBA), interlace 0.  16-bit and Adam7 raise ValueError (callers
-# treat that as "not decodable here").
+# arithmetic (W3C PNG spec / RFC 2083 §6).  Supported: bit depth 8
+# and 16 (16-bit reduces to the high byte — the spec's own sample
+# depth scaling), color types 0 (gray), 2 (RGB), 3 (palette→RGB),
+# 4 (gray+alpha), 6 (RGBA), interlace 0 and 1 (Adam7; each pass is
+# its own filtered sub-image, unfiltered independently and scattered
+# into place).  Bit depths 1/2/4 raise ValueError (callers treat
+# that as "not decodable here").
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # type 3: 1 index byte
@@ -263,36 +268,44 @@ def _png_chunks(buf: bytes):
             return
 
 
-def _png_header(buf: bytes) -> tuple[int, int, int, int]:
-    """→ (width, height, bit_depth, color_type); validates support."""
+def _png_header(buf: bytes) -> tuple[int, int, int, int, int]:
+    """→ (width, height, bit_depth, color_type, interlace);
+    validates support."""
     if buf[:8] != _PNG_SIG or len(buf) < 33 or buf[12:16] != b"IHDR":
         raise ValueError("not a PNG / missing IHDR")
     w, h = struct.unpack_from(">II", buf, 16)
     depth, ctype, comp, filt, interlace = struct.unpack_from("5B", buf, 24)
     if w <= 0 or h <= 0:
         raise ValueError("bad PNG dimensions")
-    if depth != 8:
-        raise ValueError("only 8-bit PNG supported")
+    if depth not in (8, 16) or (depth == 16 and ctype == 3):
+        raise ValueError("only 8/16-bit PNG supported (no 16-bit palette)")
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"unsupported PNG color type {ctype}")
     if comp != 0 or filt != 0:
         raise ValueError("non-standard PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
-    return w, h, depth, ctype
+    if interlace not in (0, 1):
+        raise ValueError("unknown PNG interlace method")
+    return w, h, depth, ctype, interlace
 
 
 def png_dims(buf: bytes) -> tuple[int, int, int]:
     """(height, width, out_channels) from IHDR alone — no inflate."""
-    w, h, _, ctype = _png_header(buf)
+    w, h, _, ctype, _ = _png_header(buf)
     return h, w, 3 if ctype == 3 else _PNG_CHANNELS[ctype]
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
 def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
-    """Reverse the per-scanline filters → (h, w*ch) uint8.  Sub/Up are
-    vectorized (cumsum-mod-256 / previous-row add); Average and Paeth
-    carry an intra-row dependency, so they loop over PIXELS with the
-    channel vector done in numpy."""
+    """Reverse the per-scanline filters → (h, w*ch) uint8.  ``ch`` is
+    BYTES per pixel (filters reference the byte ``bpp`` back, so
+    16-bit images pass ch*2 and the arithmetic is unchanged).  Sub/Up
+    are vectorized (cumsum-mod-256 / previous-row add); Average and
+    Paeth carry an intra-row dependency, so they loop over PIXELS with
+    the per-pixel byte vector done in numpy."""
     stride = w * ch
     flat = np.frombuffer(raw, dtype=np.uint8)
     if len(flat) < h * (stride + 1):
@@ -342,12 +355,14 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
 
 
 def decode_png(buf: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG → (h, w, C) uint8 (C = 1/2/3/4;
-    palette images come back as RGB)."""
+    """8/16-bit PNG (interlace 0 or Adam7) → (h, w, C) uint8
+    (C = 1/2/3/4; palette images come back as RGB; 16-bit samples
+    reduce to their high byte)."""
     import zlib
 
-    w, h, _, ctype = _png_header(buf)
+    w, h, depth, ctype, interlace = _png_header(buf)
     ch = _PNG_CHANNELS[ctype]
+    bpp = ch * (depth // 8)
     idat, plte = [], None
     for kind, data in _png_chunks(buf):
         if kind == b"IDAT":
@@ -360,7 +375,23 @@ def decode_png(buf: bytes) -> np.ndarray:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as ex:
         raise ValueError(f"bad PNG IDAT stream: {ex}") from None
-    img = _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+    if interlace == 0:
+        flat = _png_unfilter(raw, h, w, bpp)
+    else:  # Adam7: unfilter each pass sub-image, scatter into place
+        flat = np.zeros((h, w * bpp), dtype=np.uint8)
+        view = flat.reshape(h, w, bpp)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue  # pass absent entirely (PNG spec §8.2)
+            sub = _png_unfilter(raw[pos:], ph, pw, bpp)
+            pos += ph * (pw * bpp + 1)
+            view[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    if depth == 16:  # high byte: the spec's sample-depth reduction
+        flat = np.ascontiguousarray(flat.reshape(h, w, ch, 2)[..., 0])
+    img = flat.reshape(h, w, ch)
     if ctype == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG without valid PLTE")
@@ -404,32 +435,55 @@ def _png_filter_rows(img2d: np.ndarray, ch: int, ftype: int) -> np.ndarray:
 
 
 def encode_png(img: np.ndarray, filter_type: int = 0,
-               level: int = 6) -> bytes:
-    """Encode (h, w[, C]) uint8 → 8-bit non-interlaced PNG (C = 1 gray,
-    2 gray+alpha, 3 RGB, 4 RGBA).  ``filter_type`` applies one filter
-    to every scanline — exists so tests can round-trip each of the
-    five decode paths."""
+               level: int = 6, interlace: bool = False) -> bytes:
+    """Encode (h, w[, C]) uint8 (or uint16 → 16-bit big-endian
+    samples) → PNG (C = 1 gray, 2 gray+alpha, 3 RGB, 4 RGBA).
+    ``filter_type`` applies one filter to every scanline and
+    ``interlace=True`` emits Adam7 — both exist so tests can
+    round-trip each decode path."""
     import zlib
 
-    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if np.asarray(img).dtype == np.uint16:
+        img = np.ascontiguousarray(img, dtype=np.uint16)
+        depth = 16
+    else:
+        img = np.ascontiguousarray(img, dtype=np.uint8)
+        depth = 8
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
     if ctype is None:
         raise ValueError(f"encode_png: unsupported channel count {ch}")
-    body = _png_filter_rows(img.reshape(h, w * ch), ch, filter_type)
-    lines = np.empty((h, w * ch + 1), dtype=np.uint8)
-    lines[:, 0] = filter_type
-    lines[:, 1:] = body
-    idat = zlib.compress(lines.tobytes(), level)
+    bpp = ch * (depth // 8)
+    # byte image (h, w, bpp): 16-bit samples as big-endian byte pairs
+    bimg = img if depth == 8 else \
+        img.astype(">u2").view(np.uint8).reshape(h, w, bpp)
+
+    def filtered(sub: np.ndarray) -> bytes:
+        ph, pw = sub.shape[0], sub.shape[1]
+        body = _png_filter_rows(sub.reshape(ph, pw * bpp), bpp,
+                                filter_type)
+        lines = np.empty((ph, pw * bpp + 1), dtype=np.uint8)
+        lines[:, 0] = filter_type
+        lines[:, 1:] = body
+        return lines.tobytes()
+
+    if not interlace:
+        raw = filtered(bimg)
+    else:
+        raw = b"".join(filtered(bimg[y0::dy, x0::dx])
+                       for x0, y0, dx, dy in _ADAM7
+                       if w > x0 and h > y0)
+    idat = zlib.compress(raw, level)
 
     def chunk(kind: bytes, data: bytes) -> bytes:
         crc = zlib.crc32(kind + data) & 0xFFFFFFFF
         return struct.pack(">I", len(data)) + kind + data \
             + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                       1 if interlace else 0)
     return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
             + chunk(b"IEND", b""))
 
@@ -598,6 +652,63 @@ def decode_gif(buf: bytes) -> np.ndarray:
     raise ValueError("GIF without an image frame")
 
 
+def gif_frames(buf: bytes) -> list[bytes]:
+    """REAL animated-GIF demux: every frame re-wrapped as a STANDALONE
+    single-frame GIF (original header + logical screen + global color
+    table + the frame's own GCE/descriptor/LCT/data + trailer) — each
+    returned blob decodes with :func:`decode_gif`.  Inter-frame
+    compositing (disposal methods) is intentionally not applied: each
+    output is that frame's pixels against the logical screen, which is
+    what per-frame feature extraction wants.  Used by FrameSample for
+    the GIF container."""
+    gif_dims(buf)  # validates header + length
+    packed = buf[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    head = buf[:pos]  # header + LSD + GCT
+    frames: list[bytes] = []
+    gce = b""
+    while pos < len(buf):
+        block = buf[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos + 2 > len(buf):
+                raise ValueError("truncated GIF extension")
+            label = buf[pos + 1]
+            start = pos
+            pos += 2
+            while pos < len(buf) and buf[pos]:  # skip sub-blocks
+                pos += 1 + buf[pos]
+            pos += 1
+            if label == 0xF9:  # GCE travels with its frame
+                gce = buf[start:pos]
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(buf):
+                raise ValueError("truncated GIF image descriptor")
+            start = pos
+            ipacked = buf[pos + 9]
+            pos += 10
+            if ipacked & 0x80:
+                pos += 3 * (2 << (ipacked & 0x07))
+            if pos >= len(buf):
+                raise ValueError("truncated GIF image data")
+            pos += 1  # LZW min code size
+            while pos < len(buf) and buf[pos]:
+                pos += 1 + buf[pos]
+            pos += 1
+            if pos > len(buf):
+                raise ValueError("truncated GIF image data")
+            frames.append(head + gce + buf[start:pos] + b"\x3b")
+            gce = b""
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF without an image frame")
+    return frames
+
+
 def _gif_lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
     """Real GIF-LZW compression (dictionary (prefix, byte) → code),
     LSB-first variable-width output with clear-code resets at 4096."""
@@ -697,6 +808,52 @@ def encode_gif(img: np.ndarray, interlace: bool = False,
         chunk = lzw[i:i + 255]
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def encode_gif_animation(frames_img: list[np.ndarray],
+                         delay_cs: int = 10) -> bytes:
+    """(h, w, 3) uint8 frames → animated GIF89a, one image block per
+    frame with its own LOCAL color table (each frame palettized
+    independently, ≤ 256 colors each) and a GCE carrying the delay.
+    Exists so tests can drive :func:`gif_frames` / FrameSample's GIF
+    demux with a real multi-frame file."""
+    if not frames_img:
+        raise ValueError("encode_gif_animation wants at least one frame")
+    first = np.ascontiguousarray(frames_img[0], dtype=np.uint8)
+    if first.ndim != 3 or first.shape[2] != 3:
+        raise ValueError("frames must be (h, w, 3) uint8")
+    h, w = first.shape[:2]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x00, 0, 0])  # no global color table
+    for img in frames_img:
+        img = np.ascontiguousarray(img, dtype=np.uint8)
+        if img.shape != (h, w, 3):
+            raise ValueError("all frames must share the screen size")
+        packed = (img[:, :, 0].astype(np.uint32) << 16) \
+            | (img[:, :, 1].astype(np.uint32) << 8) | img[:, :, 2]
+        colors, idx = np.unique(packed, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError("GIF needs <= 256 distinct colors per frame")
+        depth = max(1, int(len(colors) - 1).bit_length())
+        pal = np.zeros((1 << depth, 3), dtype=np.uint8)
+        pal[:len(colors), 0] = colors >> 16
+        pal[:len(colors), 1] = (colors >> 8) & 0xFF
+        pal[:len(colors), 2] = colors & 0xFF
+        mcs = max(2, depth)
+        lzw = _gif_lzw_encode(idx.reshape(h, w).astype(np.uint8), mcs)
+        out += bytes([0x21, 0xF9, 4, 0x00]) \
+            + struct.pack("<H", delay_cs) + bytes([0, 0])  # GCE
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x80 | (depth - 1)])  # LCT flag+size
+        out += pal.tobytes()
+        out += bytes([mcs])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)
 
 

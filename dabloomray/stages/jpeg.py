@@ -6,19 +6,27 @@ missing" #1) the same way round 5's PNG codec did: the format is public
 rides the multimodal decoder registry as a built-in so the stages need
 no edits.
 
-Scope — baseline DCT process, which is what cameras and `libjpeg`
-default to:
-- **decode**: SOF0 (baseline) and SOF1 (extended sequential), 8-bit,
-  1 component (grayscale) or 3 (JFIF YCbCr), any integer sampling
-  factors (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 reached by the encoder and
-  tests), byte stuffing, DRI/RSTn restart intervals, interleaved and
-  non-interleaved (Ns=1) scans.  Progressive (SOF2), arithmetic
-  coding, 12-bit and CMYK raise ValueError — callers treat that as
-  "not decodable here" and fall back, per the registry contract.
-- **encode**: baseline, quality-scaled Annex K quantization tables,
+Scope — the Huffman DCT processes, which is what real-world JPEGs
+use:
+- **decode**: SOF0 (baseline), SOF1 (extended sequential) and SOF2
+  (progressive — spectral selection AND successive approximation:
+  DC/AC first + refinement scans, EOB runs, per-scan table
+  redefinition; T.81 G.2), 8-bit, 1 component (grayscale) or 3 (JFIF
+  YCbCr), any integer sampling factors (4:4:4 / 4:2:0 / 4:2:2 /
+  4:4:0 reached by the encoder and tests), byte stuffing, DRI/RSTn
+  restart intervals, interleaved and non-interleaved (Ns=1) scans.
+  Arithmetic coding, 12-bit and CMYK raise ValueError — callers
+  treat that as "not decodable here" and fall back, per the registry
+  contract.
+- **encode**: baseline (quality-scaled Annex K quantization tables,
   Annex K "typical" Huffman tables, optional 4:2:0 chroma subsampling
-  and restart intervals — enough knobs that tests can exercise every
-  decoder path with self-made files.
+  and restart intervals) plus a REAL progressive encoder
+  (``encode_jpeg_progressive``: arbitrary scan scripts, per-scan
+  OPTIMAL Huffman tables built with the Annex K.2 algorithm, EOB-run
+  and refinement-bit emission) — enough knobs that tests can exercise
+  every decoder path with self-made files, and a progressive file of
+  an image decodes bit-identically to the baseline file of the same
+  image (same coefficient lattice; tests assert it).
 
 Entropy decoding is inherently bit-serial, so the per-symbol loop is
 Python — but it is fed by a 16-bit table-lookup Huffman decoder
@@ -425,7 +433,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 (dc_tabs if tc == 0 else ac_tabs)[th] = lut
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", data)
-        elif marker in (0xC0, 0xC1):  # SOF0/1: the supported processes
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2
+            # progressive — the supported DCT processes
             prec, h, w, ncomp = struct.unpack_from(">BHHB", data)
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -451,11 +460,12 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 c["by"] = mcuy * c["vs"]
                 c["coef"] = np.zeros((c["by"] * c["bx"], 64), dtype=np.int32)
             frame = {"h": h, "w": w, "comps": comps,
-                     "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                     "hmax": hmax, "vmax": vmax, "mcux": mcux,
+                     "mcuy": mcuy, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("unsupported JPEG process (progressive/"
-                             "arithmetic/lossless)")
+            raise ValueError("unsupported JPEG process (arithmetic/"
+                             "lossless/differential)")
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG scan before SOF")
@@ -464,6 +474,19 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             ns = data[0]
             if len(data) < 1 + 2 * ns + 3:
                 raise ValueError("truncated JPEG SOS segment")
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ahal = data[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            progressive = frame.get("progressive", False)
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("bad sequential JPEG scan header")
+            if progressive:
+                if ss == 0 and se != 0:
+                    raise ValueError("progressive DC scan with Se != 0")
+                if ss > 0 and (ns != 1 or not ss <= se <= 63):
+                    raise ValueError("bad progressive AC scan band")
+                if ah not in (0, al + 1) or al > 13:
+                    raise ValueError("bad successive approximation")
             scan = []
             for i in range(ns):
                 cs, tt = data[1 + 2 * i], data[2 + 2 * i]
@@ -471,24 +494,30 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                             None)
                 if comp is None:
                     raise ValueError("JPEG scan references unknown component")
-                try:
-                    scan.append((comp, dc_tabs[tt >> 4], ac_tabs[tt & 0x0F]))
-                except KeyError:
-                    raise ValueError("JPEG scan references missing Huffman "
-                                     "table") from None
+                # tables resolve lazily: a progressive DC-refine scan
+                # uses none, a DC-first scan no AC table, an AC scan
+                # no DC table — error only if actually used
+                scan.append((comp, dc_tabs.get(tt >> 4),
+                             ac_tabs.get(tt & 0x0F)))
             segments, pos = _entropy_segments(buf, pos)
-            _decode_scan(segments, scan, frame, restart_interval)
+            _decode_scan(segments, scan, frame, restart_interval,
+                         ss, se, ah, al)
     if frame is None:
         raise ValueError("JPEG without SOF")
     return _reconstruct(frame, qtables)
 
 
 def _decode_scan(segments: list[bytes], scan, frame,
-                 restart_interval: int) -> None:
+                 restart_interval: int, ss: int = 0, se: int = 63,
+                 ah: int = 0, al: int = 0) -> None:
     """Entropy-decode one scan into the frame's coefficient arrays.
     Interleaved (Ns>1): MCU = the usual hs x vs block cluster per
     component.  Non-interleaved (Ns=1): MCU = one block walking THAT
-    component's own ceil(size/8) grid (T.81 A.2.2)."""
+    component's own ceil(size/8) grid (T.81 A.2.2).  Progressive
+    frames dispatch on the band/approximation parameters: DC first or
+    refine (Ss=0, T.81 G.2.1) and AC first or refine with EOB runs
+    (Ss>0, G.2.2); the EOBRUN and DC predictors reset at restarts."""
+    progressive = frame.get("progressive", False)
     interleaved = len(scan) > 1
     if interleaved:
         n_mcus = frame["mcux"] * frame["mcuy"]
@@ -503,6 +532,7 @@ def _decode_scan(segments: list[bytes], scan, frame,
     done = 0
     for seg in segments:
         br = _BitReader(seg)
+        eobrun = 0
         for c, _, _ in scan:
             preds[id(c)] = 0  # DC predictors reset at restarts
         for _ in range(min(per_seg, n_mcus - done)):
@@ -514,19 +544,146 @@ def _decode_scan(segments: list[bytes], scan, frame,
                             bx = mx * comp["hs"] + hh
                             by = my * comp["vs"] + v
                             out = comp["coef"][by * comp["bx"] + bx]
-                            preds[id(comp)] = _decode_block(
-                                br, dct, act, out, preds[id(comp)])
+                            if not progressive:
+                                preds[id(comp)] = _decode_block(
+                                    br, _need(dct), _need(act), out,
+                                    preds[id(comp)])
+                            elif ah == 0:  # DC first (Ss==0 ⇒ Ns>1
+                                # only for DC scans)
+                                preds[id(comp)] = _dc_first(
+                                    br, _need(dct), out,
+                                    preds[id(comp)], al)
+                            else:  # DC refine: one raw bit per block
+                                _dc_refine(br, out, al)
             else:
                 comp, dct, act = scan[0]
                 bx, by = done % sbx, done // sbx
                 out = comp["coef"][by * comp["bx"] + bx]
-                preds[id(comp)] = _decode_block(br, dct, act, out,
-                                                preds[id(comp)])
+                if not progressive:
+                    preds[id(comp)] = _decode_block(
+                        br, _need(dct), _need(act), out, preds[id(comp)])
+                elif ss == 0:
+                    if ah == 0:
+                        preds[id(comp)] = _dc_first(
+                            br, _need(dct), out, preds[id(comp)], al)
+                    else:
+                        _dc_refine(br, out, al)
+                elif ah == 0:
+                    eobrun = _ac_first(br, _need(act), out, ss, se, al,
+                                       eobrun)
+                else:
+                    eobrun = _ac_refine(br, _need(act), out, ss, se, al,
+                                        eobrun)
             done += 1
         if done >= n_mcus:
             break
     if done < n_mcus:
         raise ValueError("JPEG scan ended before all MCUs decoded")
+
+
+def _need(table: _HuffLUT | None) -> _HuffLUT:
+    if table is None:
+        raise ValueError("JPEG scan references missing Huffman table")
+    return table
+
+
+def _dc_first(br: _BitReader, dc: _HuffLUT, out: np.ndarray,
+              pred: int, al: int) -> int:
+    """Progressive DC, first pass (T.81 G.2.1): the usual DC diff
+    decode, coefficient stored left-shifted by the point transform."""
+    t = br.decode(dc)
+    if t > 11:
+        raise ValueError("bad JPEG DC category")
+    pred += _extend(br.receive(t), t)
+    out[0] = pred << al
+    return pred
+
+
+def _dc_refine(br: _BitReader, out: np.ndarray, al: int) -> None:
+    """Progressive DC refinement: one appended bit per block, ORed at
+    the approximation position (two's complement makes this correct
+    for negative coefficients too)."""
+    if br.receive(1):
+        out[0] |= 1 << al
+
+
+def _ac_first(br: _BitReader, ac: _HuffLUT, out: np.ndarray,
+              ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC, first pass of a band (T.81 G.2.2): run/size
+    coding within [Ss, Se] plus EOBn codes — an EOB run of n skips
+    the band of the next n-1 blocks after ending this one."""
+    if eobrun > 0:
+        return eobrun - 1  # whole band zero in this block
+    k = ss
+    while k <= se:
+        rs = br.decode(ac)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past band end")
+        out[_ZIGZAG[k]] = _extend(br.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br: _BitReader, ac: _HuffLUT, out: np.ndarray,
+               ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC refinement (T.81 G.2.2 / the classic libjpeg
+    control flow): newly-significant coefficients arrive as s=1
+    symbols with a sign bit, already-significant coefficients absorb
+    one correction bit whenever the scan passes over them (including
+    inside ZRL skips and EOB-run tails)."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(z: int) -> None:
+        if br.receive(1) and (out[z] & p1) == 0:
+            out[z] += p1 if out[z] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode(ac)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:  # EOBn: run includes this block's tail
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement AC symbol")
+                newval = p1 if br.receive(1) else m1
+            while k <= se:
+                z = int(_ZIGZAG[k])
+                if out[z] != 0:
+                    correct(z)  # nonzero history: no r decrement
+                else:
+                    if r == 0:
+                        if newval:
+                            out[z] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:  # tail of this block inside an EOB run
+        while k <= se:
+            z = int(_ZIGZAG[k])
+            if out[z] != 0:
+                correct(z)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _reconstruct(frame, qtables) -> np.ndarray:
@@ -627,14 +784,13 @@ def _encode_blocks(bw: _BitWriter, zz: np.ndarray, pred: int,
     return dc
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
-                restart_interval: int = 0, interleave: bool = True) -> bytes:
-    """(h, w[, C]) uint8 (C = 1 gray or 3 RGB) → baseline JFIF JPEG.
-    ``subsample=True`` emits 4:2:0 chroma (box-averaged); a nonzero
-    ``restart_interval`` emits DRI + RSTn markers every that many MCUs;
-    ``interleave=False`` emits one Ns=1 scan per component (T.81
-    A.2.2) — all three exist chiefly so tests can drive every decoder
-    path with self-made files."""
+def _prep_planes(img: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front half: validate, color-transform,
+    subsample, pad, FDCT+quantize.  Returns (h, w, color, qlum, qchr,
+    samp, grids, zzs, mcux, mcuy) — zzs[ci] is (by, bx, 64) quantized
+    zigzag coefficients on the MCU-padded grid, grids[ci] the
+    component's OWN pre-pad block grid (what a non-interleaved Ns=1
+    scan walks, T.81 A.2.2)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -672,8 +828,6 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     zzs, grids = [], []
     for plane, (hs, vs) in zip(planes, samp):
-        # pre-pad grid = the component's OWN block grid (what a
-        # non-interleaved Ns=1 scan walks, T.81 A.2.2)
         grids.append((-(-plane.shape[1] // 8), -(-plane.shape[0] // 8)))
         # pad the plane so its block grid tiles the full MCU grid
         tgt_h, tgt_w = mcuy * vs * 8, mcux * hs * 8
@@ -681,6 +835,20 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
         p = np.pad(p, ((0, tgt_h - p.shape[0]), (0, tgt_w - p.shape[1])),
                    mode="edge")
         zzs.append(_fdct_quant(p, qs[len(zzs)]))
+    return h, w, color, qlum, qchr, samp, grids, zzs, mcux, mcuy
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
+                restart_interval: int = 0, interleave: bool = True) -> bytes:
+    """(h, w[, C]) uint8 (C = 1 gray or 3 RGB) → baseline JFIF JPEG.
+    ``subsample=True`` emits 4:2:0 chroma (box-averaged); a nonzero
+    ``restart_interval`` emits DRI + RSTn markers every that many MCUs;
+    ``interleave=False`` emits one Ns=1 scan per component (T.81
+    A.2.2) — all three exist chiefly so tests can drive every decoder
+    path with self-made files."""
+    h, w, color, qlum, qchr, samp, grids, zzs, mcux, mcuy = \
+        _prep_planes(img, quality, subsample)
+    planes = zzs
     codes = [(_ENC_DC_LUM, _ENC_AC_LUM)] \
         + [(_ENC_DC_CHR, _ENC_AC_CHR)] * (len(planes) - 1)
 
@@ -755,5 +923,358 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
             sos = bytes([1, i + 1, 0x00 if i == 0 else 0x11, 0, 63, 0])
             seg(0xDA, sos)
             out.extend(scan_entropy([i]))
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+# ---------------------------------------------------------------------------
+# progressive encoder (T.81 G.1/G.2; per-scan optimal Huffman tables)
+# ---------------------------------------------------------------------------
+
+
+def _build_huffman(freq_in: np.ndarray) -> tuple[bytes, bytes]:
+    """Optimal length-limited Huffman table spec (BITS, HUFFVAL) from
+    symbol frequencies — the T.81 Annex K.2 / classic libjpeg
+    construction: pairwise merge with chained code-length counting, a
+    reserved always-present symbol 256 guaranteeing no code is all
+    ones, then the >16-bit adjustment that moves long codes up."""
+    freq = np.zeros(257, dtype=np.int64)
+    freq[:256] = freq_in
+    freq[256] = 1  # reserved: keeps the all-ones code unused
+    codesize = np.zeros(257, dtype=np.int64)
+    others = np.full(257, -1, dtype=np.int64)
+    while True:
+        nz = np.nonzero(freq)[0]
+        if len(nz) < 2:
+            break
+        # smallest frequency, largest symbol value on ties (K.2)
+        order = nz[np.lexsort((-nz, freq[nz]))]
+        v1, v2 = int(order[0]), int(order[1])
+        if v1 < v2:  # v1 is the LARGER-value of the two smallest
+            v1, v2 = v2, v1
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] >= 0:
+            v1 = int(others[v1])
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] >= 0:
+            v2 = int(others[v2])
+            codesize[v2] += 1
+    bits = np.zeros(60, dtype=np.int64)  # length histogram, 1-indexed
+    for c in codesize[codesize > 0]:
+        bits[int(c)] += 1
+    for ln in range(len(bits) - 1, 16, -1):  # limit to 16 bits
+        while bits[ln] > 0:
+            j = ln - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[ln] -= 2
+            bits[ln - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    ln = 16
+    while ln > 0 and bits[ln] == 0:
+        ln -= 1
+    if ln > 0:
+        bits[ln] -= 1  # drop the reserved symbol's slot
+    # symbols sorted by code length then value; symbol 256 excluded
+    real = np.nonzero(codesize[:256])[0]
+    order = real[np.lexsort((real, codesize[real]))]
+    return bytes(int(b) for b in bits[1:17]), bytes(int(s) for s in order)
+
+
+class _ScanIR:
+    """Two-pass entropy writer: pass 1 records (symbol, table) ops and
+    raw bits while counting symbol frequencies; after tables are built
+    from the counts, pass 2 serializes with real codes.  Restart
+    markers and byte alignment ride along as ops."""
+
+    __slots__ = ("ops", "freqs")
+
+    def __init__(self):
+        self.ops = []
+        self.freqs: dict[int, np.ndarray] = {}
+
+    def sym(self, slot: int, symbol: int) -> None:
+        f = self.freqs.get(slot)
+        if f is None:
+            f = self.freqs[slot] = np.zeros(256, dtype=np.int64)
+        f[symbol] += 1
+        self.ops.append((0, slot, symbol))
+
+    def bits(self, value: int, n: int) -> None:
+        if n:
+            self.ops.append((1, value, n))
+
+    def rst(self, n: int) -> None:
+        self.ops.append((2, n, 0))
+
+    def serialize(self, codes: dict[int, dict]) -> bytes:
+        bw = _BitWriter()
+        for kind, a, b in self.ops:
+            if kind == 0:
+                code, ln = codes[a][b]
+                bw.write(code, ln)
+            elif kind == 1:
+                bw.write(a, b)
+            else:
+                bw.align()
+                bw.buf += bytes([0xFF, 0xD0 + a % 8])
+        bw.align()
+        return bytes(bw.buf)
+
+
+def _point_transform(v: int, al: int) -> int:
+    """AC point transform (T.81 G.1.2.2: magnitude shift, sign kept)."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+class _ProgEOB:
+    """EOB-run accumulator shared by the AC scan encoders: counts
+    pending end-of-band blocks and (for refinement) the correction
+    bits buffered inside the run."""
+
+    __slots__ = ("ir", "slot", "run", "bits")
+
+    def __init__(self, ir: _ScanIR, slot: int):
+        self.ir = ir
+        self.slot = slot
+        self.run = 0
+        self.bits: list[int] = []
+
+    def flush(self) -> None:
+        if self.run > 0:
+            nb = self.run.bit_length() - 1
+            self.ir.sym(self.slot, nb << 4)
+            if nb:
+                self.ir.bits(self.run - (1 << nb), nb)
+        for b in self.bits:
+            self.ir.bits(b, 1)
+        self.run = 0
+        self.bits = []
+
+    def add(self, correction_bits: list[int]) -> None:
+        self.run += 1
+        self.bits.extend(correction_bits)
+        if self.run == 0x7FFF:
+            self.flush()
+
+
+def _enc_ac_first_block(ir: _ScanIR, slot: int, zz: np.ndarray,
+                        ss: int, se: int, al: int, eob: _ProgEOB) -> None:
+    r = 0
+    wrote = False
+    for k in range(ss, se + 1):
+        t = _point_transform(int(zz[k]), al)
+        if t == 0:
+            r += 1
+            continue
+        if not wrote:
+            eob.flush()  # pending EOB run ends before this block's data
+            wrote = True
+        while r > 15:
+            ir.sym(slot, 0xF0)  # ZRL
+            r -= 16
+        s, bits = _encode_value_bits(t)
+        ir.sym(slot, (r << 4) | s)
+        ir.bits(bits, s)
+        r = 0
+    if r > 0 or not wrote:  # band ends with zeros (or is all zero)
+        eob.add([])
+
+
+def _enc_ac_refine_block(ir: _ScanIR, slot: int, zz: np.ndarray,
+                         ss: int, se: int, al: int, eob: _ProgEOB) -> None:
+    absval = np.empty(se + 1, dtype=np.int64)
+    eob_k = ss  # band position AFTER the last newly-significant coeff
+    for k in range(ss, se + 1):
+        a = abs(int(zz[k])) >> al
+        absval[k] = a
+        if a == 1:
+            eob_k = k + 1
+    r = 0
+    br: list[int] = []  # correction bits buffered since last symbol
+    wrote = False
+    for k in range(ss, se + 1):
+        t = int(absval[k])
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k < eob_k:  # ZRLs not foldable into the EOB
+            if not wrote:
+                eob.flush()
+                wrote = True
+            ir.sym(slot, 0xF0)
+            r -= 16
+            for b in br:
+                ir.bits(b, 1)
+            br = []
+        if t > 1:  # already significant: buffer one correction bit
+            br.append(t & 1)
+            continue
+        # newly significant
+        if not wrote:
+            eob.flush()
+            wrote = True
+        ir.sym(slot, (r << 4) | 1)
+        ir.bits(1 if zz[k] >= 0 else 0, 1)
+        for b in br:
+            ir.bits(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        eob.add(br)
+
+
+_DEFAULT_SCANS_COLOR = (
+    # the classic libjpeg-style script: DC first coarse, luma AC in
+    # two bands at low precision, chroma AC coarse, then refinement
+    # passes down to full precision, DC refine last
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+    ((0, 1, 2), 0, 0, 1, 0),
+)
+
+_DEFAULT_SCANS_GRAY = (
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 1, 63, 1, 0),
+    ((0,), 0, 0, 1, 0),
+)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
+                            subsample: bool = False,
+                            restart_interval: int = 0,
+                            scans=None) -> bytes:
+    """(h, w[, C]) uint8 → progressive JFIF JPEG (SOF2).  ``scans`` is
+    a sequence of (component_indices, Ss, Se, Ah, Al) following the
+    T.81 G.1.1.1.1 rules (DC band interleavable, AC bands Ns=1, Ah ==
+    previous Al for each band); the default script mirrors libjpeg's.
+    Each scan carries its own OPTIMAL Huffman table (two-pass: count
+    symbols, build the Annex K.2 length-limited table, emit DHT before
+    the SOS) — progressive symbol statistics are nothing like the
+    Annex K baseline tables, and per-scan tables also exercise the
+    decoder's table-redefinition path.  Same coefficient lattice as
+    ``encode_jpeg``: a progressive file of the same image decodes to
+    EXACTLY the same pixels as the baseline file (tests assert it)."""
+    h, w, color, qlum, qchr, samp, grids, zzs, mcux, mcuy = \
+        _prep_planes(img, quality, subsample)
+    ncomp = 3 if color else 1
+    if scans is None:
+        scans = _DEFAULT_SCANS_COLOR if color else _DEFAULT_SCANS_GRAY
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    dqt = bytes([0x00]) + bytes(int(qlum[_ZIGZAG[i]]) for i in range(64))
+    if color:
+        dqt += bytes([0x01]) + bytes(int(qchr[_ZIGZAG[i]])
+                                     for i in range(64))
+    seg(0xDB, dqt)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i, (hs, vs) in enumerate(samp):
+        sof += bytes([i + 1, (hs << 4) | vs, 0 if i == 0 else 1])
+    seg(0xC2, sof)  # SOF2: progressive DCT
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+
+    for comps, ss, se, ah, al in scans:
+        if ss == 0 and se != 0:
+            raise ValueError("DC scan must have Se == 0")
+        if ss > 0 and len(comps) != 1:
+            raise ValueError("AC scans must be single-component")
+        ir = _ScanIR()
+        # slot per component class: 0 = luma, 1 = chroma (DHT emitted
+        # per scan, so slots are reused freely between scans)
+        slot_of = {ci: (0 if ci == 0 else 1) for ci in comps}
+        if ss == 0:  # DC scan over the interleaved MCU walk
+            interleaved = len(comps) > 1
+            n_mcus = mcux * mcuy if interleaved else \
+                grids[comps[0]][0] * grids[comps[0]][1]
+            per_seg = restart_interval or n_mcus
+            preds = {ci: 0 for ci in comps}
+            rstn = 0
+            for m in range(n_mcus):
+                if restart_interval and m and m % per_seg == 0:
+                    ir.rst(rstn)
+                    rstn += 1
+                    preds = {ci: 0 for ci in comps}
+                if interleaved:
+                    mx, my = m % mcux, m // mcux
+                    blocks = []
+                    for ci in comps:
+                        hs, vs = samp[ci]
+                        for v in range(vs):
+                            for hh in range(hs):
+                                blocks.append(
+                                    (ci, zzs[ci][my * vs + v,
+                                                 mx * hs + hh]))
+                else:
+                    ci = comps[0]
+                    sbx = grids[ci][0]
+                    blocks = [(ci, zzs[ci][m // sbx, m % sbx])]
+                for ci, zz in blocks:
+                    dc = int(zz[0]) >> al  # DC point transform is
+                    # an arithmetic shift (T.81 G.1.2.1)
+                    if ah == 0:
+                        s, bits = _encode_value_bits(dc - preds[ci])
+                        preds[ci] = dc
+                        ir.sym(slot_of[ci], s)
+                        ir.bits(bits, s)
+                    else:  # refine: the next lower bit, raw
+                        ir.bits((int(zz[0]) >> al) & 1, 1)
+        else:  # AC scan: the component's own block grid
+            ci = comps[0]
+            slot = slot_of[ci]
+            sbx, sby = grids[ci]
+            n_blocks = sbx * sby
+            per_seg = restart_interval or n_blocks
+            eob = _ProgEOB(ir, slot)
+            rstn = 0
+            for m in range(n_blocks):
+                if restart_interval and m and m % per_seg == 0:
+                    eob.flush()
+                    ir.rst(rstn)
+                    rstn += 1
+                zz = zzs[ci][m // sbx, m % sbx]
+                if ah == 0:
+                    _enc_ac_first_block(ir, slot, zz, ss, se, al, eob)
+                else:
+                    _enc_ac_refine_block(ir, slot, zz, ss, se, al, eob)
+            eob.flush()
+        # build per-scan optimal tables and emit DHT + SOS + entropy
+        codes: dict[int, dict] = {}
+        dht = b""
+        tc = 0 if ss == 0 else 1  # DC or AC table class
+        for slot, freq in sorted(ir.freqs.items()):
+            bits, vals = _build_huffman(freq)
+            codes[slot] = _huff_codes(bits, vals)
+            dht += bytes([(tc << 4) | slot]) + bits + vals
+        if dht:
+            seg(0xC4, dht)
+        sos = bytes([len(comps)])
+        for ci in comps:
+            slot = slot_of[ci]
+            sos += bytes([ci + 1, (slot << 4) if ss == 0 else slot])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, sos)
+        out.extend(ir.serialize(codes))
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)

@@ -39,6 +39,7 @@ from .codecs import (
     decode_wav,
     encode_ppm,
     gif_dims,
+    gif_frames,
     image_features,
     mp4_dims,
     mp4_sample_ranges,
@@ -388,8 +389,11 @@ class FrameSample:
     yields every sample's byte range, frames are sampled evenly and
     emitted as the raw ENCODED sample bytes (the codec payload stays
     opaque — no ffmpeg — but the frame boundaries and indices are
-    real).  Other containers (WEBM etc.) — STUB: hash-sliced byte
-    windows with synthetic indices 0..n_frames-1, same schema."""
+    real).  REAL demux for animated GIF (round 5): each sampled frame
+    is emitted as a STANDALONE single-frame GIF (decodable by
+    decode_gif — see codecs.gif_frames).  Other containers (WEBM
+    etc.) — STUB: hash-sliced byte windows with synthetic indices
+    0..n_frames-1, same schema."""
 
     def __init__(self, id_col: str = "media_id",
                  content_col: str = "content", n_frames: int = 4):
@@ -404,11 +408,27 @@ class FrameSample:
         for mid, blob in zip(ids, blobs):
             blob = blob or b""
             spans = _split_ppm_stream(blob)
-            if not spans and sniff(blob) == "mp4":
+            kind = sniff(blob) if not spans else None
+            if kind == "mp4":
                 try:  # REAL ISO-BMFF demux (encoded samples, round 5)
                     spans = mp4_sample_ranges(blob)
                 except (ValueError, struct.error):
                     spans = []
+            elif kind == "gif":
+                try:  # REAL animated-GIF demux: standalone per-frame
+                    # GIFs (decodable by decode_gif), sampled evenly
+                    gfs = gif_frames(blob)
+                except (ValueError, struct.error):
+                    gfs = []
+                if gfs:
+                    take = np.unique(np.linspace(
+                        0, len(gfs) - 1, min(self.n_frames, len(gfs)),
+                        dtype=np.int64))
+                    for fi in take:
+                        out_ids.append(int(mid))
+                        out_idx.append(int(fi))
+                        frames.append(gfs[fi])
+                    continue
             if spans:  # REAL path
                 take = np.unique(np.linspace(0, len(spans) - 1,
                                              min(self.n_frames, len(spans)),

@@ -297,3 +297,112 @@ def test_review_r5_huffman_lut_memoized():
     assert len(j._LUT_CACHE) == n_after_first  # pure cache hits
     assert np.array_equal(out1, out2)
     assert np.array_equal(out1, img)  # constant block: exact at q90
+
+
+def test_progressive_equals_baseline_default_script():
+    """Round-5: SOF2 progressive.  Progressive and baseline files of
+    the same image carry the SAME quantized coefficients, so they
+    must decode bit-identically — color and gray, with and without
+    4:2:0 subsampling and restart intervals."""
+    from dabloomray.stages.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(17)
+    for shape, sub, ri in [((16, 16, 3), False, 0), ((13, 21, 3), True, 0),
+                           ((9, 7), False, 0), ((24, 18, 3), True, 3),
+                           ((8, 8, 3), False, 1)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsample=sub))
+        blob = encode_jpeg_progressive(img, quality=85, subsample=sub,
+                                       restart_interval=ri)
+        assert blob[:3] == b"\xff\xd8\xff" and sniff(blob) == "jpeg"
+        assert jpeg_dims(blob)[:2] == shape[:2]
+        assert np.array_equal(decode_jpeg(blob), base), (shape, sub, ri)
+
+
+def test_progressive_custom_scan_scripts():
+    """Spectral-selection-only, fine-grained bands, and deep
+    successive approximation must all reassemble the exact
+    coefficient lattice."""
+    from dabloomray.stages.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=70))
+    scripts = [
+        (((0, 1, 2), 0, 0, 0, 0), ((0,), 1, 63, 0, 0),
+         ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0)),
+        (((0, 1, 2), 0, 0, 0, 0), ((0,), 1, 2, 0, 0),
+         ((0,), 3, 10, 0, 0), ((0,), 11, 63, 0, 0),
+         ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0)),
+        (((0, 1, 2), 0, 0, 0, 3),
+         ((0,), 1, 63, 0, 3), ((1,), 1, 63, 0, 3), ((2,), 1, 63, 0, 3),
+         ((0,), 1, 63, 3, 2), ((1,), 1, 63, 3, 2), ((2,), 1, 63, 3, 2),
+         ((0,), 1, 63, 2, 1), ((1,), 1, 63, 2, 1), ((2,), 1, 63, 2, 1),
+         ((0,), 1, 63, 1, 0), ((1,), 1, 63, 1, 0), ((2,), 1, 63, 1, 0),
+         ((0, 1, 2), 0, 0, 3, 2), ((0, 1, 2), 0, 0, 2, 1),
+         ((0, 1, 2), 0, 0, 1, 0)),
+    ]
+    for i, sc in enumerate(scripts):
+        blob = encode_jpeg_progressive(img, quality=70, scans=sc)
+        assert np.array_equal(decode_jpeg(blob), base), f"script {i}"
+
+
+def test_progressive_long_eob_runs_and_optimal_tables():
+    """A large near-constant low-quality image forces multi-bit EOBn
+    codes (EOBRUN >> 1) through both encoder and decoder, and the
+    per-scan optimal Huffman tables must beat the baseline Annex K
+    file on it."""
+    from dabloomray.stages.jpeg import encode_jpeg_progressive
+    from dabloomray.stages.multimodal import _decode_image
+
+    img = np.full((256, 264, 3), 130, np.uint8)
+    img[0, 0] = 200
+    blob_p = encode_jpeg_progressive(img, quality=10)
+    blob_b = encode_jpeg(img, quality=10)
+    assert np.array_equal(decode_jpeg(blob_p), decode_jpeg(blob_b))
+    assert len(blob_p) < len(blob_b)  # optimal tables + EOB runs win
+    # registry path decodes progressive transparently
+    assert np.array_equal(_decode_image(blob_p), decode_jpeg(blob_b))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    color=st.booleans(),
+    quality=st.sampled_from([10, 50, 90]),
+    subsample=st.booleans(),
+    ri=st.integers(0, 3),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_progressive_roundtrip_property(h, w, color, quality, subsample,
+                                        ri, seed):
+    from dabloomray.stages.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=quality,
+                                   subsample=subsample and color))
+    blob = encode_jpeg_progressive(img, quality=quality,
+                                   subsample=subsample and color,
+                                   restart_interval=ri)
+    assert np.array_equal(decode_jpeg(blob), base)
+
+
+def test_progressive_malformed_raises_valueerror():
+    """Truncated/corrupt progressive streams must raise ValueError
+    (the malformed-blob contract), never IndexError or a hang."""
+    import pytest
+
+    from dabloomray.stages.jpeg import encode_jpeg_progressive
+    from dabloomray.stages.multimodal import _decode_image
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    blob = encode_jpeg_progressive(img, quality=50)
+    for cut in (len(blob) // 3, len(blob) // 2, len(blob) - 3):
+        bad = blob[:cut]
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+        assert _decode_image(bad) is None

@@ -397,8 +397,11 @@ def test_png_rides_registry_as_builtin():
 
 
 def test_png_malformed_blobs_fall_back():
-    """Truncated/unsupported PNGs (bad IDAT, 16-bit, Adam7, bad filter
-    byte) must fall to the documented fake/pass-through paths."""
+    """Truncated/unsupported PNGs (bad IDAT, sub-byte depth, bad
+    filter byte) must fall to the documented fake/pass-through paths.
+    16-bit and Adam7 are REAL since the round-5 extension, so those
+    headers now yield real dims (raster still absent → resize falls
+    back)."""
     import struct
     import zlib
 
@@ -415,24 +418,29 @@ def test_png_malformed_blobs_fall_back():
 
     bad = [
         _PNG_SIG + b"short",                               # no IHDR
-        _PNG_SIG + ihdr(depth=16) + chunk(b"IEND", b""),   # 16-bit
-        _PNG_SIG + ihdr(interlace=1) + chunk(b"IEND", b""),  # Adam7
+        _PNG_SIG + ihdr(depth=4) + chunk(b"IEND", b""),    # sub-byte
+        _PNG_SIG + ihdr(depth=16, ctype=3)
+        + chunk(b"IEND", b""),                             # 16-bit palette
         _PNG_SIG + ihdr() + chunk(b"IDAT", b"notzlib")
         + chunk(b"IEND", b""),                             # bad stream
         _PNG_SIG + ihdr()
         + chunk(b"IDAT", zlib.compress(b"\x09" + b"\x00" * 12))
         + chunk(b"IEND", b""),                             # filter 9
         encode_png(gradient_img(6, 6))[:40],               # truncated
+        # REAL headers since round 5: 16-bit and Adam7 give real dims
+        _PNG_SIG + ihdr(depth=16) + chunk(b"IEND", b""),
+        _PNG_SIG + ihdr(interlace=1) + chunk(b"IEND", b""),
     ]
     t = pa.table({"media_id": pa.array(range(len(bad)), pa.int64()),
                   "content": pa.array(bad, pa.binary())})
     dec = ImageDecode()(t)  # never raises
     heights = dec.column("height").to_pylist()
-    # blobs 0-2 have no usable IHDR (missing / 16-bit / Adam7) → fake
-    # dims; blobs 3-5 have an INTACT IHDR and ImageDecode is
-    # header-only by design → real dims even though the raster is junk
+    # blobs 0-2 have no usable IHDR (missing / sub-byte / 16-bit
+    # palette) → fake dims; the rest have an INTACT supported IHDR and
+    # ImageDecode is header-only by design → real dims even though the
+    # raster is junk or missing
     assert all(h >= 64 for h in heights[:3])
-    assert heights[3:] == [4, 4, 6]
+    assert heights[3:] == [4, 4, 6, 4, 4]
     rez = ImageResize(3, 3)(t)  # raster decode fails on ALL of them
     assert rez.column("resized_ok").to_pylist() == [False] * len(bad)
 
@@ -741,3 +749,70 @@ def test_review_r5_encode_png_bad_channels_raises_valueerror():
 
     with pytest.raises(ValueError):
         encode_png(np.zeros((4, 4, 5), np.uint8))
+
+
+def test_png_adam7_and_16bit_roundtrip():
+    """Round-5 extension: Adam7 interlace and 16-bit depth.  Adam7
+    must be pixel-exact for any shape (incl. dims smaller than the
+    8x8 pass grid); 16-bit reduces to the high byte (the spec's
+    sample-depth scaling)."""
+    from dabloomray.stages.codecs import decode_png, encode_png, png_dims
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (3, 2), (7, 9), (16, 16), (23, 31)]:
+        for ch in (1, 2, 3, 4):
+            img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+            for ft in range(5):
+                blob = encode_png(img, filter_type=ft, interlace=True)
+                assert sniff(blob) == "png"
+                assert np.array_equal(decode_png(blob), img), (h, w, ch, ft)
+            img16 = rng.integers(0, 65536, (h, w, ch), dtype=np.uint16)
+            for il in (False, True):
+                blob = encode_png(img16, filter_type=4, interlace=il)
+                assert png_dims(blob) == (h, w, ch)
+                assert np.array_equal(decode_png(blob),
+                                      (img16 >> 8).astype(np.uint8))
+    # interlaced 8-bit rides ImageDecode's registry dims path
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    t = pa.table({"media_id": pa.array([0], pa.int64()),
+                  "content": pa.array([encode_png(img, interlace=True)],
+                                      pa.binary())})
+    dec = ImageDecode()(t)
+    assert (dec.column("height").to_pylist(),
+            dec.column("width").to_pylist()) == ([6], [5])
+
+
+def test_gif_animation_demux_and_frame_sample():
+    """Round-5: animated-GIF demux — gif_frames re-wraps each frame as
+    a standalone GIF that decode_gif reproduces exactly, and
+    FrameSample samples evenly with SOURCE frame indices."""
+    from dabloomray.stages.codecs import (
+        decode_gif,
+        encode_gif_animation,
+        gif_frames,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [np.full((5, 7, 3), v, np.uint8)
+              for v in (10, 60, 110, 160, 210, 250)]
+    frames[2] = (rng.integers(0, 4, (5, 7, 1)) * 60) \
+        .astype(np.uint8).repeat(3, axis=2)
+    blob = encode_gif_animation(frames)
+    assert sniff(blob) == "gif"
+    got = gif_frames(blob)
+    assert len(got) == len(frames)
+    for g, img in zip(got, frames):
+        assert np.array_equal(decode_gif(g), img)
+    # decode_gif on the animation returns the FIRST frame
+    assert np.array_equal(decode_gif(blob), frames[0])
+    t = pa.table({"media_id": pa.array([7], pa.int64()),
+                  "content": pa.array([blob], pa.binary())})
+    out = FrameSample(n_frames=3)(t)
+    assert out.column("frame_idx").to_pylist() == [0, 2, 5]
+    for f, fi in zip(out.column("frame").to_pylist(), [0, 2, 5]):
+        assert np.array_equal(decode_gif(f), frames[fi])
+    # truncated animation raises ValueError (falls back in stages)
+    import pytest
+
+    with pytest.raises(ValueError):
+        gif_frames(blob[:len(blob) // 2] )
