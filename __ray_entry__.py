@@ -942,12 +942,15 @@ def _q_docs_as_jpeg_decode(sf_dir: str):
     DECODE, not just the header: each doc becomes a constant-color
     JPEG (dims and color pure arithmetic of doc_id/n_chars; encoder
     knobs — 4:2:0 subsampling, restart intervals, non-interleaved
-    scans — cycle over doc_id so every decoder path runs).  A
+    scans, and since round 5 PROGRESSIVE (SOF2) files for doc_id % 7
+    == 3 — cycle over doc_id so every decoder path runs).  A
     constant block is DC-only and the quality-90 DC quantizer is
     sub-half-level, so the decoded pixel is EXACTLY the encoded
-    arithmetic — hash-matched by the oracle alongside the dims that
-    ImageDecode reads through the registry's header-only jpeg hook."""
-    from dabloomray.stages.jpeg import encode_jpeg
+    arithmetic in every mode (progressive reassembles the identical
+    coefficient lattice) — hash-matched by the oracle alongside the
+    dims that ImageDecode reads through the registry's header-only
+    jpeg hook."""
+    from dabloomray.stages.jpeg import encode_jpeg, encode_jpeg_progressive
     from dabloomray.stages.multimodal import ImageDecode, _decode_image
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
@@ -961,11 +964,18 @@ def _q_docs_as_jpeg_decode(sf_dir: str):
         blobs = []
         for i, (h, w, v) in enumerate(zip(heights, widths, vals)):
             img = np.full((int(h), int(w), 3), int(v), np.uint8)
-            blobs.append(encode_jpeg(
-                img, quality=90,
-                subsample=bool(ids[i] % 2),
-                restart_interval=int(ids[i]) % 3,
-                interleave=bool((ids[i] >> 1) % 2)))
+            if ids[i] % 7 == 3:  # progressive payloads on the same
+                # oracle: DC-only content reassembles exactly
+                blobs.append(encode_jpeg_progressive(
+                    img, quality=90,
+                    subsample=bool(ids[i] % 2),
+                    restart_interval=int(ids[i]) % 3))
+            else:
+                blobs.append(encode_jpeg(
+                    img, quality=90,
+                    subsample=bool(ids[i] % 2),
+                    restart_interval=int(ids[i]) % 3,
+                    interleave=bool((ids[i] >> 1) % 2)))
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "content": pa.array(blobs, pa.binary())})
 
