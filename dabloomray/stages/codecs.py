@@ -378,14 +378,26 @@ def decode_png(buf: bytes) -> np.ndarray:
     if interlace == 0:
         flat = _png_unfilter(raw, h, w, bpp)
     else:  # Adam7: unfilter each pass sub-image, scatter into place
-        flat = np.zeros((h, w * bpp), dtype=np.uint8)
-        view = flat.reshape(h, w, bpp)
-        pos = 0
+        passes = []
+        need = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx if w > x0 else 0
             ph = (h - y0 + dy - 1) // dy if h > y0 else 0
             if pw == 0 or ph == 0:
                 continue  # pass absent entirely (PNG spec §8.2)
+            passes.append((x0, y0, dx, dy, pw, ph))
+            need += ph * (pw * bpp + 1)
+        # validate BEFORE allocating the screen: a corrupt IHDR can
+        # claim ~2^32-pixel dims and np.zeros would raise MemoryError
+        # (which the malformed-blob harness does not catch) — the
+        # non-interlaced path gets the same guarantee from
+        # _png_unfilter's own length check
+        if len(raw) < need:
+            raise ValueError("truncated PNG scanlines")
+        flat = np.zeros((h, w * bpp), dtype=np.uint8)
+        view = flat.reshape(h, w, bpp)
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in passes:
             sub = _png_unfilter(raw[pos:], ph, pw, bpp)
             pos += ph * (pw * bpp + 1)
             view[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)

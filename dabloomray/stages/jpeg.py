@@ -472,6 +472,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             if not data:
                 raise ValueError("empty JPEG SOS segment")
             ns = data[0]
+            if not 1 <= ns <= 4:  # T.81 B.2.3: Ns=0 would leave an
+                # empty scan list and crash the non-interleaved walk
+                raise ValueError("bad JPEG scan component count")
             if len(data) < 1 + 2 * ns + 3:
                 raise ValueError("truncated JPEG SOS segment")
             ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
@@ -848,9 +851,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
     path with self-made files."""
     h, w, color, qlum, qchr, samp, grids, zzs, mcux, mcuy = \
         _prep_planes(img, quality, subsample)
-    planes = zzs
+    ncomp = len(zzs)
     codes = [(_ENC_DC_LUM, _ENC_AC_LUM)] \
-        + [(_ENC_DC_CHR, _ENC_AC_CHR)] * (len(planes) - 1)
+        + [(_ENC_DC_CHR, _ENC_AC_CHR)] * (ncomp - 1)
 
     def scan_entropy(comp_idx: list[int]) -> bytes:
         """Entropy-code one scan (all components interleaved, or a
@@ -885,46 +888,55 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
         bw.align()
         return bytes(bw.buf)
 
-    out = bytearray(b"\xff\xd8")  # SOI
-
-    def seg(marker: int, payload: bytes) -> None:
-        out.extend(bytes([0xFF, marker]))
-        out.extend(struct.pack(">H", len(payload) + 2))
-        out.extend(payload)
-
-    seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")  # APP0
-    dqt = bytes([0x00]) + bytes(int(qlum[_ZIGZAG[i]]) for i in range(64))
-    if color:
-        dqt += bytes([0x01]) + bytes(int(qchr[_ZIGZAG[i]])
-                                     for i in range(64))
-    seg(0xDB, dqt)
-    ncomp = len(planes)
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for i, (hs, vs) in enumerate(samp):
-        sof += bytes([i + 1, (hs << 4) | vs, 0 if i == 0 else 1])
-    seg(0xC0, sof)
+    out = _jfif_preamble(h, w, color, qlum, qchr, samp, 0xC0)
     dht = bytes([0x00]) + _DC_LUM_BITS + _DC_LUM_VALS \
         + bytes([0x10]) + _AC_LUM_BITS + _AC_LUM_VALS
     if color:
         dht += bytes([0x01]) + _DC_CHR_BITS + _DC_CHR_VALS \
             + bytes([0x11]) + _AC_CHR_BITS + _AC_CHR_VALS
-    seg(0xC4, dht)
+    _seg(out, 0xC4, dht)
     if restart_interval:
-        seg(0xDD, struct.pack(">H", restart_interval))
+        _seg(out, 0xDD, struct.pack(">H", restart_interval))
     if interleave or ncomp == 1:
         sos = bytes([ncomp])
         for i in range(ncomp):
             sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
         sos += bytes([0, 63, 0])  # Ss, Se, Ah/Al — fixed for baseline
-        seg(0xDA, sos)
+        _seg(out, 0xDA, sos)
         out.extend(scan_entropy(list(range(ncomp))))
     else:  # one Ns=1 scan per component
         for i in range(ncomp):
             sos = bytes([1, i + 1, 0x00 if i == 0 else 0x11, 0, 63, 0])
-            seg(0xDA, sos)
+            _seg(out, 0xDA, sos)
             out.extend(scan_entropy([i]))
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)
+
+
+def _seg(out: bytearray, marker: int, payload: bytes) -> None:
+    """Append one marker segment (marker + big-endian length)."""
+    out.extend(bytes([0xFF, marker]))
+    out.extend(struct.pack(">H", len(payload) + 2))
+    out.extend(payload)
+
+
+def _jfif_preamble(h: int, w: int, color: bool, qlum: np.ndarray,
+                   qchr: np.ndarray, samp, sof_marker: int) -> bytearray:
+    """SOI + APP0 + DQT + SOF shared by both encoders (the SOF marker
+    is the only difference: 0xC0 baseline, 0xC2 progressive)."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    _seg(out, 0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = bytes([0x00]) + bytes(int(qlum[_ZIGZAG[i]]) for i in range(64))
+    if color:
+        dqt += bytes([0x01]) + bytes(int(qchr[_ZIGZAG[i]])
+                                     for i in range(64))
+    _seg(out, 0xDB, dqt)
+    ncomp = 3 if color else 1
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i, (hs, vs) in enumerate(samp):
+        sof += bytes([i + 1, (hs << 4) | vs, 0 if i == 0 else 1])
+    _seg(out, sof_marker, sof)
+    return out
 
 # ---------------------------------------------------------------------------
 # progressive encoder (T.81 G.1/G.2; per-scan optimal Huffman tables)
@@ -1175,25 +1187,9 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
     if scans is None:
         scans = _DEFAULT_SCANS_COLOR if color else _DEFAULT_SCANS_GRAY
 
-    out = bytearray(b"\xff\xd8")  # SOI
-
-    def seg(marker: int, payload: bytes) -> None:
-        out.extend(bytes([0xFF, marker]))
-        out.extend(struct.pack(">H", len(payload) + 2))
-        out.extend(payload)
-
-    seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")  # APP0
-    dqt = bytes([0x00]) + bytes(int(qlum[_ZIGZAG[i]]) for i in range(64))
-    if color:
-        dqt += bytes([0x01]) + bytes(int(qchr[_ZIGZAG[i]])
-                                     for i in range(64))
-    seg(0xDB, dqt)
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for i, (hs, vs) in enumerate(samp):
-        sof += bytes([i + 1, (hs << 4) | vs, 0 if i == 0 else 1])
-    seg(0xC2, sof)  # SOF2: progressive DCT
+    out = _jfif_preamble(h, w, color, qlum, qchr, samp, 0xC2)  # SOF2
     if restart_interval:
-        seg(0xDD, struct.pack(">H", restart_interval))
+        _seg(out, 0xDD, struct.pack(">H", restart_interval))
 
     for comps, ss, se, ah, al in scans:
         if ss == 0 and se != 0:
@@ -1268,13 +1264,13 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
             codes[slot] = _huff_codes(bits, vals)
             dht += bytes([(tc << 4) | slot]) + bits + vals
         if dht:
-            seg(0xC4, dht)
+            _seg(out, 0xC4, dht)
         sos = bytes([len(comps)])
         for ci in comps:
             slot = slot_of[ci]
             sos += bytes([ci + 1, (slot << 4) if ss == 0 else slot])
         sos += bytes([ss, se, (ah << 4) | al])
-        seg(0xDA, sos)
+        _seg(out, 0xDA, sos)
         out.extend(ir.serialize(codes))
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)

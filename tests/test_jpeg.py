@@ -406,3 +406,90 @@ def test_progressive_malformed_raises_valueerror():
         with pytest.raises(ValueError):
             decode_jpeg(bad)
         assert _decode_image(bad) is None
+
+
+def test_review_r5b_ns_zero_sos_raises_valueerror():
+    """Second review pass: an SOS declaring Ns=0 passed the truncation
+    check and crashed _decode_scan with IndexError at scan[0]."""
+    import struct as s
+
+    import pytest
+
+    from dabloomray.stages.multimodal import _decode_image
+
+    blob = encode_jpeg(np.full((8, 8, 3), 50, np.uint8))
+    sos = blob.find(b"\xff\xda")
+    bad = blob[:sos + 2] + s.pack(">H", 6) + bytes([0, 0, 63, 0]) \
+        + blob[sos + 4 + blob[sos + 3]:]
+    with pytest.raises(ValueError):
+        decode_jpeg(bad)
+    assert _decode_image(bad) is None
+
+
+def test_progressive_handcrafted_stream_matches_spec_arithmetic():
+    """Decoder checked against a BYTE-LEVEL HAND-ASSEMBLED SOF2 stream
+    (written from T.81 G.2 directly, independent of our encoder):
+    4 scans — DC first (Al=1), AC first (band 1-63, Al=1), AC refine
+    (correction bit over a nonzero-history coefficient + a newly
+    significant one + EOB), DC refine — must produce exactly the
+    coefficients {DC: 7, zig1: 3, zig2: 1} and the IDCT of them."""
+    import struct as s
+
+    from dabloomray.stages.jpeg import _A, _ZIGZAG
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + s.pack(">H", len(payload) + 2) \
+            + payload
+
+    class BW:
+        def __init__(self):
+            self.bits = []
+
+        def put(self, val, n):
+            for i in range(n - 1, -1, -1):
+                self.bits.append((val >> i) & 1)
+
+        def out(self):
+            bs = bytearray()
+            b = self.bits + [1] * (-len(self.bits) % 8)
+            for i in range(0, len(b), 8):
+                v = 0
+                for x in b[i:i + 8]:
+                    v = (v << 1) | x
+                bs.append(v)
+                if v == 0xFF:
+                    bs.append(0)
+            return bytes(bs)
+
+    blob = bytearray(b"\xff\xd8")
+    blob += seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # identity DQT
+    blob += seg(0xC2, s.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    blob += seg(0xC4, bytes([0x00]) + bytes([1, 1] + [0] * 14)
+                + bytes([2, 0]))  # DC: cat2 len1, cat0 len2
+    blob += seg(0xC4, bytes([0x10]) + bytes([1, 1] + [0] * 14)
+                + bytes([0x01, 0x00]))  # AC: (0,1) len1, EOB len2
+    # scan 1: DC first Al=1 — diff cat 2, bits '11' → pred 3, coef 6
+    blob += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    bw = BW(); bw.put(0, 1); bw.put(0b11, 2); blob += bw.out()
+    # scan 2: AC first 1-63 Al=1 — +1<<1 at k=1, then EOB
+    blob += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+    bw = BW(); bw.put(0, 1); bw.put(1, 1); bw.put(0b10, 2)
+    blob += bw.out()
+    # scan 3: AC refine Ah=1 Al=0 — newly significant +1 at k=2 with a
+    # correction bit consumed passing over k=1 (2 → 3), then EOB
+    blob += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+    bw = BW(); bw.put(0, 1); bw.put(1, 1); bw.put(1, 1); bw.put(0b10, 2)
+    blob += bw.out()
+    # scan 4: DC refine — one bit: 6 | 1 = 7
+    blob += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+    bw = BW(); bw.put(1, 1); blob += bw.out()
+    blob += b"\xff\xd9"
+
+    img = decode_jpeg(bytes(blob))
+    coef = np.zeros(64)
+    coef[0] = 7
+    coef[int(_ZIGZAG[1])] = 3
+    coef[int(_ZIGZAG[2])] = 1
+    pix = _A.T @ coef.reshape(8, 8) @ _A + 128.0
+    want = np.clip(np.rint(pix), 0, 255).astype(np.uint8)[:, :, None]
+    assert np.array_equal(img, want)

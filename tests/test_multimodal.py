@@ -816,3 +816,31 @@ def test_gif_animation_demux_and_frame_sample():
 
     with pytest.raises(ValueError):
         gif_frames(blob[:len(blob) // 2] )
+
+
+def test_review_r5b_adam7_huge_dims_raise_valueerror_not_memoryerror():
+    """Second review pass: a corrupt interlaced PNG claiming ~2^32
+    pixel dims reached np.zeros and raised MemoryError (uncaught by
+    the malformed-blob harness).  The scanline-length check must run
+    BEFORE the screen allocation."""
+    import struct as s
+    import zlib
+
+    import pytest
+
+    from dabloomray.stages.codecs import decode_png
+    from dabloomray.stages.multimodal import _decode_image
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(kind, data):
+        return (s.pack(">I", len(data)) + kind + data
+                + s.pack(">I", zlib.crc32(kind + data)))
+
+    ihdr = s.pack(">II5B", 3_000_000_000, 9, 8, 2, 0, 0, 1)
+    blob = (sig + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(blob)
+    assert _decode_image(blob) is None  # harness-caught, task survives
