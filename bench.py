@@ -391,6 +391,25 @@ def _load_scaling_block():
         return None
 
 
+def _merge_scaling_history(prior: dict, payload: dict) -> dict:
+    """Fold the previous BENCH_SCALING content into ``payload`` as a
+    "sessions" list (deduped by measured_at) so the artifact carries
+    every session of the round, not just whichever epoch ran last."""
+    sessions = list(prior.get("sessions", []))
+    if "scaling_efficiency" in prior:
+        prev = {k: v for k, v in prior.items()
+                if k not in ("sessions", "session_efficiencies")}
+        if prev.get("measured_at") not in {s.get("measured_at")
+                                           for s in sessions}:
+            sessions.append(prev)
+    sessions.append({k: v for k, v in payload.items()
+                     if k not in ("sessions", "session_efficiencies")})
+    payload["sessions"] = sessions
+    payload["session_efficiencies"] = [s.get("scaling_efficiency")
+                                       for s in sessions]
+    return payload
+
+
 def scaling() -> None:
     """N vs 4N CPU scaling (driver criterion; default pair from
     $GRAFT_SCALE_CPUS, "2,8").
@@ -510,7 +529,11 @@ def scaling() -> None:
     }
     payload["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
     print(json.dumps(payload))
-    # persist so the next plain `bench.py` run embeds it (r4 #7)
+    # persist so the next plain `bench.py` run embeds it (r4 #7).
+    # The file keeps EVERY session of the round under "sessions"
+    # (latest fields at top level) — one noisy epoch must not become
+    # the only scaling evidence in the artifact, in either direction.
+    _merge_scaling_history(_load_scaling_block() or {}, payload)
     try:
         with open(_SCALING_JSON, "w") as f:
             json.dump(payload, f, indent=1)

@@ -57,3 +57,35 @@ def test_build_then_check_no_false_negatives(tmp_path):
     verdicts = dict(zip(got.column("url").to_pylist(),
                         got.column("member").to_pylist()))
     assert all(verdicts[k] for k in keys), verdicts
+
+
+def test_bench_scaling_history_merge():
+    """BENCH_SCALING.json retains every session of the round under
+    "sessions" (deduped by measured_at), so one noisy epoch cannot
+    become the artifact's only scaling evidence."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    sys.modules["bench_mod"] = bench
+    spec.loader.exec_module(bench)
+
+    s1 = {"scaling_efficiency": 0.9, "measured_at": "t1"}
+    s2 = {"scaling_efficiency": 0.7, "measured_at": "t2"}
+    s3 = {"scaling_efficiency": 0.85, "measured_at": "t3"}
+    p1 = bench._merge_scaling_history({}, dict(s1))
+    assert p1["session_efficiencies"] == [0.9]
+    p2 = bench._merge_scaling_history(p1, dict(s2))
+    assert p2["session_efficiencies"] == [0.9, 0.7]
+    p3 = bench._merge_scaling_history(p2, dict(s3))
+    assert p3["session_efficiencies"] == [0.9, 0.7, 0.85]
+    assert [s["measured_at"] for s in p3["sessions"]] == ["t1", "t2", "t3"]
+    # top-level latest fields never leak the nested history
+    assert all("sessions" not in s for s in p3["sessions"])
+    # the prior top-level entry (already present in its own sessions
+    # list) is deduped by measured_at, never double-counted
+    p4 = bench._merge_scaling_history(
+        p3, {"scaling_efficiency": 0.8, "measured_at": "t4"})
+    assert p4["session_efficiencies"] == [0.9, 0.7, 0.85, 0.8]
