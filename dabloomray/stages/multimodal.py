@@ -6,15 +6,17 @@ payloads: size batch_size so batch x concurrency fits worker heap).
 
 Decode reality, format by format:
 - **REAL, no libraries needed** (``stages/codecs.py`` + ``stages/
-  jpeg.py`` pure-numpy codecs): P6 PPM, 24-bit BMP, 8-bit
-  non-interlaced PNG, baseline JPEG and GIF images (decode, resize,
-  features — PNG/JPEG/GIF ride the decoder registry as built-ins),
-  PCM-16 WAV audio (decode, rms/zero-crossing features), and
-  concatenated-P6 "video" streams (frame sampling).
+  jpeg.py`` pure-numpy codecs): P6 PPM, 24-bit BMP, 8/16-bit PNG
+  (non-interlaced or Adam7), JPEG (baseline AND progressive SOF2)
+  and GIF images (decode, resize, features — PNG/JPEG/GIF ride the
+  decoder registry as built-ins), PCM-16 WAV audio (decode,
+  rms/zero-crossing features), concatenated-P6 "video" streams,
+  animated-GIF frames and MP4 samples (frame sampling with real
+  demux).
 - **Real when the library exists**: PIL is used for other image
   formats if importable (it is not in this environment).
-- **STUB otherwise**: the remaining compressed formats
-  (WEBP/MP4, progressive JPEG) without PIL/ffmpeg fall back to a
+- **STUB otherwise**: the remaining codec payloads (WEBP pixels,
+  MP4 sample pixels) without PIL/ffmpeg fall back to a
   DETERMINISTIC FAKE (pure function of the bytes) that preserves
   schema, determinism and batch shape — marked loudly, swap in the
   real decoder when the lib exists.
