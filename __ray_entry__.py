@@ -998,6 +998,59 @@ def _q_docs_as_jpeg_decode(sf_dir: str):
     return dims.map_batches(pixel, batch_format="pyarrow")
 
 
+def _q_docs_as_mp4_frames(sf_dir: str):
+    """Distributed MP4 FRAME SAMPLING with an exact oracle (round 5):
+    each doc becomes a real ISO-BMFF file (``encode_mp4``) holding
+    k = n_chars % 7 + 1 encoded samples whose bytes are pure
+    arithmetic of (doc_id, frame index); ``FrameSample`` demuxes via
+    the stsc/stsz/stco walk (chunk layout cycling doc_id % 3 + 1 so
+    multi-sample chunk runs are exercised) and samples 3 frames
+    evenly.  np.unique(linspace(0, k-1, min(3, k))) has the closed
+    form {0} ∪ {(k-1)//2 | k≥3} ∪ {k-1 | k≥2}, so the oracle states
+    the exact (frame_idx, first_byte, frame_len) set in SQL — a
+    hash-match proves the demux returns the true sample boundaries,
+    not approximate byte windows."""
+    from dabloomray.stages.codecs import encode_mp4
+    from dabloomray.stages.multimodal import FrameSample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        nc = t.column("n_chars").to_numpy()
+        blobs = []
+        for i in range(len(ids)):
+            k = int(nc[i]) % 7 + 1
+            frames = [bytes([int(ids[i] + j) % 251]) * (j % 5 + 2)
+                      for j in range(k)]
+            blobs.append(encode_mp4(frames, int(ids[i]) % 31 + 4,
+                                    int(nc[i]) % 29 + 4,
+                                    chunk_size=int(ids[i]) % 3 + 1))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "content": pa.array(blobs, pa.binary())})
+
+    media = docs.map_batches(synth, batch_format="pyarrow")
+    out = media.map_batches(FrameSample,
+                            fn_constructor_kwargs={"n_frames": 3},
+                            batch_format="pyarrow", concurrency=(1, 4))
+
+    def finish(t: pa.Table) -> pa.Table:
+        fb = np.empty(len(t), np.int64)
+        fl = np.empty(len(t), np.int64)
+        for i, b in enumerate(t.column("frame")):
+            bs = b.as_py()
+            fb[i] = bs[0] if bs else -1
+            fl[i] = len(bs)
+        return pa.table({
+            "doc_id": t.column("media_id").cast(pa.int64()),
+            "frame_idx": t.column("frame_idx").cast(pa.int64()),
+            "first_byte": pa.array(fb, pa.int64()),
+            "frame_len": pa.array(fl, pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_docs_hash_sample(sf_dir: str):
     """Deterministic hash-Bernoulli sample (SURVEY.md §2.6 sampling):
     keep docs with murmur64(text) below 20% of the hash space —
@@ -1052,6 +1105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_as_images_dims": _q_docs_as_images_dims,
         "docs_as_png_dims": _q_docs_as_png_dims,
         "docs_as_jpeg_decode": _q_docs_as_jpeg_decode,
+        "docs_as_mp4_frames": _q_docs_as_mp4_frames,
         "near_dedup_threshold1": _q_near_dedup_threshold1,
         "big_purchasers_without_big_error": _q_big_purchasers_without_big_error,
         "big_purchasers_with_big_error": _q_big_purchasers_with_big_error,
@@ -1320,6 +1374,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars % 29 + 4 AS height, "
             "doc_id % 31 + 4 AS width, doc_id % 199 + 17 AS pixel_value "
             "FROM documents"
+        ),
+        # closed form of np.unique(linspace(0, k-1, min(3, k))):
+        # {0} ∪ {(k-1)//2 | k>=3} ∪ {k-1 | k>=2}; frame bytes are
+        # arithmetic of (doc_id, source frame idx)
+        "docs_as_mp4_frames": (
+            "WITH d AS (SELECT doc_id, n_chars % 7 + 1 AS k "
+            "           FROM documents), "
+            "i AS (SELECT doc_id, 0 AS frame_idx FROM d "
+            "      UNION "
+            "      SELECT doc_id, (k - 1) // 2 FROM d WHERE k >= 3 "
+            "      UNION "
+            "      SELECT doc_id, k - 1 FROM d WHERE k >= 2) "
+            "SELECT doc_id, frame_idx, "
+            "       (doc_id + frame_idx) % 251 AS first_byte, "
+            "       frame_idx % 5 + 2 AS frame_len "
+            "FROM i"
         ),
         # value_quantiles_tdigest / nchars_quantiles_kll /
         # simhash_dedup_pairs / lang_id_counts / scaling_remove_stream:
